@@ -1,0 +1,33 @@
+"""Test configuration: force an 8-device virtual CPU mesh.
+
+This is the JAX analogue of the reference's ``strategy=ddp_spawn`` CPU
+multi-process simulation (reference tests/test_train.py:52-61): all tests run
+on a virtual 8-device CPU platform so multi-device sharding paths are
+exercised without TPU hardware.
+"""
+import os
+
+# Must be set before jax initializes its backends. Force CPU even if the
+# environment selects a TPU platform — unit tests validate numerics/sharding
+# on an 8-device virtual CPU mesh; TPU-only tests are marked `tpu`.
+# (JAX_PLATFORMS alone is overridden by the axon TPU plugin in this image,
+# so belt-and-braces: env vars + explicit config update.)
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["JAX_PLATFORM_NAME"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+os.environ.setdefault("JAX_ENABLE_X64", "0")
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def rng_seed():
+    return 0
