@@ -156,7 +156,15 @@ def _vmem_ok(n: int, k: int, d: int) -> bool:
 def nearest_code_stats(x: jax.Array, embeddings: jax.Array, *,
                        use_pallas: bool | None = None,
                        interpret: bool = False):
-    """Fused lookup + stats. Dispatches to Pallas on TPU, jnp elsewhere."""
+    """Fused lookup + stats. Dispatches to Pallas on TPU, jnp elsewhere.
+
+    All outputs are gradient-free: indices are discrete and the EMA
+    statistics correspond to the reference's no-grad buffer updates
+    (videogpt_vq_vae.py:194-206), so gradients are stopped at the boundary
+    (also required — Pallas kernels define no JVP rule).
+    """
+    x = jax.lax.stop_gradient(x)
+    embeddings = jax.lax.stop_gradient(embeddings)
     if use_pallas is None:
         use_pallas = (jax.default_backend() in ("tpu", "axon")
                       and _vmem_ok(x.shape[0], *embeddings.shape))

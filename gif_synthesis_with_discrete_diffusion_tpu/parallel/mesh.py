@@ -1,0 +1,53 @@
+"""Device mesh + sharding helpers.
+
+The reference's distribution story is Lightning DDP over NCCL with three
+explicit collectives in the codebook EMA (SURVEY §2.7). The TPU-native
+equivalent is a ``jax.sharding.Mesh`` with a ``data`` axis (batch sharded
+over ICI) and an optional ``model`` axis (for sharding the codebook /
+denoiser logits when scaling up); gradients and EMA statistics become XLA
+collectives inserted automatically under ``jit`` with sharded inputs —
+no hand-written all_reduce/broadcast calls anywhere in model code.
+"""
+from __future__ import annotations
+
+from typing import Any, Mapping
+
+import jax
+import numpy as np
+from jax.experimental import mesh_utils
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+__all__ = ["create_mesh", "shard_batch", "replicate", "DATA_AXIS",
+           "MODEL_AXIS"]
+
+DATA_AXIS = "data"
+MODEL_AXIS = "model"
+
+
+def create_mesh(data: int | None = None, model: int = 1,
+                devices: list | None = None) -> Mesh:
+    """Create a (data, model) mesh. ``data=None`` uses all remaining devices."""
+    devices = devices if devices is not None else jax.devices()
+    n = len(devices)
+    if data is None:
+        assert n % model == 0, f"{n} devices not divisible by model={model}"
+        data = n // model
+    assert data * model <= n, (data, model, n)
+    dev_array = mesh_utils.create_device_mesh(
+        (data, model), devices=devices[: data * model])
+    return Mesh(dev_array, (DATA_AXIS, MODEL_AXIS))
+
+
+def shard_batch(batch: Any, mesh: Mesh) -> Any:
+    """Shard every array leaf over the data axis (leading dim)."""
+    def put(x):
+        x = np.asarray(x) if not isinstance(x, jax.Array) else x
+        spec = P(DATA_AXIS, *([None] * (x.ndim - 1))) if x.ndim else P()
+        return jax.device_put(x, NamedSharding(mesh, spec))
+    return jax.tree.map(put, batch)
+
+
+def replicate(tree: Any, mesh: Mesh) -> Any:
+    """Fully replicate a pytree across the mesh."""
+    sharding = NamedSharding(mesh, P())
+    return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)

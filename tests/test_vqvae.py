@@ -1,0 +1,142 @@
+"""VQ-VAE unit tests: shapes, codebook EMA semantics, round trips."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from gif_synthesis_with_discrete_diffusion_tpu.models.vqvae import (
+    VQVAE, Codebook, _downsample_steps)
+
+
+def _tiny_vqvae(**kw):
+    args = dict(embedding_dim=8, n_codes=16, n_hiddens=16, n_res_layers=1,
+                downsample=(1, 4, 4), sequence_length=2, resolution=16,
+                kernel_mode="xla")
+    args.update(kw)
+    return VQVAE(**args)
+
+
+def test_downsample_steps():
+    assert _downsample_steps((1, 16, 16)) == [(1, 2, 2)] * 4
+    assert _downsample_steps((2, 8, 8)) == [(2, 2, 2), (1, 2, 2), (1, 2, 2)]
+    assert _downsample_steps((4, 4, 4)) == [(2, 2, 2), (2, 2, 2)]
+
+
+def test_vqvae_forward_shapes_and_losses():
+    model = _tiny_vqvae()
+    x = jax.random.normal(jax.random.key(0), (2, 2, 16, 16, 3))
+    variables = model.init(
+        {"params": jax.random.key(1), "codebook": jax.random.key(2)},
+        {"video": x}, train=True)
+    out, mutated = model.apply(
+        variables, {"video": x}, train=True,
+        rngs={"codebook": jax.random.key(3)},
+        mutable=["codebook", "batch_stats"])
+    assert out["pred_data"].shape == x.shape
+    assert out["encodings"].shape == (2, 2, 4, 4)
+    assert np.isfinite(float(out["losses"]["recon_loss"]))
+    assert np.isfinite(float(out["losses"]["commitment_loss"]))
+    # codebook state must have been updated + initialized flag set
+    assert bool(mutated["codebook"]["codebook"]["initialized"])
+    assert float(mutated["codebook"]["codebook"]["ema_count"].sum()) > 0
+
+
+def test_vqvae_encode_decode_roundtrip_shapes():
+    model = _tiny_vqvae()
+    x = jax.random.normal(jax.random.key(0), (1, 2, 16, 16, 3))
+    variables = model.init(
+        {"params": jax.random.key(1), "codebook": jax.random.key(2)},
+        {"video": x}, train=True)
+    codes = model.apply(variables, x, method=VQVAE.encode)
+    assert codes.shape == (1, 2, 4, 4)
+    assert codes.dtype == jnp.int32
+    recon = model.apply(variables, codes, method=VQVAE.decode)
+    assert recon.shape == x.shape
+
+
+def test_vqvae_eval_mode_does_not_mutate():
+    model = _tiny_vqvae()
+    x = jax.random.normal(jax.random.key(0), (1, 2, 16, 16, 3))
+    variables = model.init(
+        {"params": jax.random.key(1), "codebook": jax.random.key(2)},
+        {"video": x}, train=True)
+    out = model.apply(variables, {"video": x}, train=False)
+    assert out["pred_data"].shape == x.shape
+
+
+def _ema_oracle(emb, n, zavg, flat, decay=0.99):
+    """Reference EMA formulas (videogpt_vq_vae.py:194-206) in numpy."""
+    k = emb.shape[0]
+    dist = (flat ** 2).sum(1, keepdims=True) - 2 * flat @ emb.T \
+        + (emb ** 2).sum(1)[None, :]
+    idx = dist.argmin(1)
+    onehot = np.eye(k, dtype=np.float32)[idx]
+    n_total = onehot.sum(0)
+    encode_sum = (flat.T @ onehot).T        # (K, D)
+    new_n = decay * n + (1 - decay) * n_total
+    new_zavg = decay * zavg + (1 - decay) * encode_sum
+    tot = new_n.sum()
+    weights = (new_n + 1e-7) / (tot + k * 1e-7) * tot
+    new_emb = new_zavg / weights[:, None]
+    return idx, new_n, new_zavg, new_emb
+
+
+def test_codebook_ema_matches_reference_formula():
+    rng = np.random.default_rng(0)
+    k, d, n_rows = 8, 4, 64
+    cb = Codebook(n_codes=k, embedding_dim=d, kernel_mode="xla")
+    z = rng.standard_normal((1, 1, 8, 8, d)).astype(np.float32)
+    variables = cb.init(
+        {"params": jax.random.key(0), "codebook": jax.random.key(1)},
+        jnp.asarray(z), train=False)
+    # mark as initialized so the data-dependent init doesn't kick in
+    state = dict(variables["codebook"])
+    state["initialized"] = jnp.ones((), jnp.bool_)
+    emb0 = np.asarray(state["embeddings"])
+    n0 = np.asarray(state["ema_count"])
+    zavg0 = np.asarray(state["ema_sum"])
+
+    out, mutated = cb.apply(
+        {"params": variables.get("params", {}), "codebook": state},
+        jnp.asarray(z), train=True,
+        rngs={"codebook": jax.random.key(2)}, mutable=["codebook"])
+
+    flat = z.reshape(-1, d)
+    idx, new_n, new_zavg, new_emb = _ema_oracle(emb0, n0, zavg0, flat)
+    got = mutated["codebook"]["codebook"] if "codebook" in mutated["codebook"] \
+        else mutated["codebook"]
+    np.testing.assert_array_equal(
+        np.asarray(out["encodings"]).reshape(-1), idx)
+    np.testing.assert_allclose(np.asarray(got["ema_count"]), new_n,
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(got["ema_sum"]), new_zavg,
+                               rtol=1e-5, atol=1e-6)
+    # usage gate: codes with new_n < 1 are randomly restarted, others match
+    used = new_n >= 1.0
+    np.testing.assert_allclose(np.asarray(got["embeddings"])[used],
+                               new_emb[used], rtol=1e-4, atol=1e-5)
+
+    # straight-through output == quantized embeddings numerically
+    np.testing.assert_allclose(
+        np.asarray(out["embeddings"]).reshape(-1, d),
+        emb0[idx], rtol=1e-5, atol=1e-6)
+
+
+def test_codebook_data_dependent_init():
+    rng = np.random.default_rng(1)
+    k, d = 8, 4
+    cb = Codebook(n_codes=k, embedding_dim=d, kernel_mode="xla")
+    z = rng.standard_normal((1, 1, 4, 4, d)).astype(np.float32)
+    variables = cb.init(
+        {"params": jax.random.key(0), "codebook": jax.random.key(1)},
+        jnp.asarray(z), train=False)
+    assert not bool(variables["codebook"]["initialized"])
+    out, mutated = cb.apply(
+        variables, jnp.asarray(z), train=True,
+        rngs={"codebook": jax.random.key(2)}, mutable=["codebook"])
+    got = mutated["codebook"]
+    assert bool(got["initialized"])
+    # after data-dependent init, embeddings derive from input rows (not the
+    # N(0,1) init): EMA of ema_sum starts from selected input rows
+    assert np.isfinite(np.asarray(got["embeddings"])).all()
