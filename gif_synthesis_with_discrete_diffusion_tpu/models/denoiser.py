@@ -1,0 +1,202 @@
+"""D3PM denoiser transformer (the reference's ``Text2ImageTransformer``).
+
+Parity with reference src/models/motionencoder/transformer_utils.py:24-444:
+``n_layer`` selfcross blocks of AdaLayerNorm(timestep) -> self-attention ->
+AdaLayerNorm -> cross-attention over the condition sequence -> LayerNorm ->
+GELU2 MLP, followed by LayerNorm + Linear to ``num_embed - 1`` classes
+(the MASK class has no logit; predict_start appends its -70 column).
+
+TPU-first details:
+* weights initialize N(0, 0.02) like the reference's ``_init_weights``;
+* attention runs as fused einsum SDPA in float32 softmax;
+* the hardcoded ``t.cuda()`` (transformer_utils.py:439) obviously has no
+  analogue; timesteps are traced arrays;
+* optional ``remat`` uses jax.checkpoint per block (reference wraps blocks
+  in torch.utils.checkpoint when configured, transformer_utils.py:438-441).
+"""
+from __future__ import annotations
+
+import math
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from .embeddings import TokenGridEmbedding
+
+__all__ = ["DenoiserTransformer", "Block", "AdaLayerNorm", "SinusoidalPosEmb",
+           "gelu2"]
+
+
+def gelu2(x: jax.Array) -> jax.Array:
+    """x * sigmoid(1.702 x) (reference GELU2, transformer_utils.py:115-119)."""
+    return x * jax.nn.sigmoid(1.702 * x)
+
+
+class SinusoidalPosEmb(nn.Module):
+    """Timestep embedding (transformer_utils.py:121-136)."""
+    num_steps: int
+    dim: int
+    rescale_steps: int = 4000
+
+    def __call__(self, t: jax.Array) -> jax.Array:
+        x = t.astype(jnp.float32) / self.num_steps * self.rescale_steps
+        half_dim = self.dim // 2
+        emb = math.log(10000) / (half_dim - 1)
+        emb = jnp.exp(jnp.arange(half_dim, dtype=jnp.float32) * -emb)
+        emb = x[:, None] * emb[None, :]
+        return jnp.concatenate([jnp.sin(emb), jnp.cos(emb)], axis=-1)
+
+
+class AdaLayerNorm(nn.Module):
+    """LayerNorm modulated by the diffusion timestep
+    (transformer_utils.py:138-159, 'adalayernorm_abs' variant)."""
+    n_embd: int
+    diffusion_step: int
+
+    @nn.compact
+    def __call__(self, x: jax.Array, timestep: jax.Array) -> jax.Array:
+        emb = SinusoidalPosEmb(self.diffusion_step, self.n_embd)(timestep)
+        emb = nn.Dense(self.n_embd * 2,
+                       kernel_init=nn.initializers.normal(stddev=0.02),
+                       bias_init=nn.initializers.zeros,
+                       name="linear")(jax.nn.silu(emb))
+        emb = emb[:, None, :]
+        scale, shift = jnp.split(emb, 2, axis=2)
+        x = nn.LayerNorm(use_scale=False, use_bias=False)(x)
+        return x * (1 + scale) + shift
+
+
+def _dense(n, name):
+    return nn.Dense(n, kernel_init=nn.initializers.normal(stddev=0.02),
+                    bias_init=nn.initializers.zeros, name=name)
+
+
+class SelfAttention(nn.Module):
+    """Non-causal multi-head self-attention (FullAttention,
+    transformer_utils.py:24-62; its causal flag is never used)."""
+    n_embd: int
+    n_head: int
+    attn_pdrop: float = 0.0
+    resid_pdrop: float = 0.0
+
+    @nn.compact
+    def __call__(self, x: jax.Array, *, deterministic: bool) -> jax.Array:
+        B, T, C = x.shape
+        hs = C // self.n_head
+        k = _dense(C, "key")(x).reshape(B, T, self.n_head, hs)
+        q = _dense(C, "query")(x).reshape(B, T, self.n_head, hs)
+        v = _dense(C, "value")(x).reshape(B, T, self.n_head, hs)
+        att = jnp.einsum("bqhd,bkhd->bhqk", q, k) / math.sqrt(hs)
+        att = jax.nn.softmax(att.astype(jnp.float32), axis=-1).astype(x.dtype)
+        att = nn.Dropout(self.attn_pdrop)(att, deterministic=deterministic)
+        y = jnp.einsum("bhqk,bkhd->bqhd", att, v).reshape(B, T, C)
+        y = _dense(C, "proj")(y)
+        return nn.Dropout(self.resid_pdrop)(y, deterministic=deterministic)
+
+
+class CrossAttention(nn.Module):
+    """Queries from content, keys/values from the condition sequence
+    (transformer_utils.py:64-113)."""
+    n_embd: int
+    n_head: int
+    attn_pdrop: float = 0.0
+    resid_pdrop: float = 0.0
+
+    @nn.compact
+    def __call__(self, x: jax.Array, cond: jax.Array, *,
+                 deterministic: bool) -> jax.Array:
+        B, T, C = x.shape
+        S = cond.shape[1]
+        hs = C // self.n_head
+        k = _dense(C, "key")(cond).reshape(B, S, self.n_head, hs)
+        v = _dense(C, "value")(cond).reshape(B, S, self.n_head, hs)
+        q = _dense(C, "query")(x).reshape(B, T, self.n_head, hs)
+        att = jnp.einsum("bqhd,bkhd->bhqk", q, k) / math.sqrt(hs)
+        att = jax.nn.softmax(att.astype(jnp.float32), axis=-1).astype(x.dtype)
+        att = nn.Dropout(self.attn_pdrop)(att, deterministic=deterministic)
+        y = jnp.einsum("bhqk,bkhd->bqhd", att, v).reshape(B, T, C)
+        y = _dense(C, "proj")(y)
+        return nn.Dropout(self.resid_pdrop)(y, deterministic=deterministic)
+
+
+class Block(nn.Module):
+    """selfcross transformer block (transformer_utils.py:178-282)."""
+    n_embd: int
+    n_head: int
+    diffusion_step: int
+    mlp_hidden_times: int = 4
+    attn_pdrop: float = 0.0
+    resid_pdrop: float = 0.0
+    activate: str = "GELU2"
+
+    @nn.compact
+    def __call__(self, x: jax.Array, cond: jax.Array, timestep: jax.Array,
+                 *, deterministic: bool) -> jax.Array:
+        a = SelfAttention(self.n_embd, self.n_head, self.attn_pdrop,
+                          self.resid_pdrop, name="attn1")(
+            AdaLayerNorm(self.n_embd, self.diffusion_step, name="ln1")(
+                x, timestep), deterministic=deterministic)
+        x = x + a
+        a = CrossAttention(self.n_embd, self.n_head, self.attn_pdrop,
+                           self.resid_pdrop, name="attn2")(
+            AdaLayerNorm(self.n_embd, self.diffusion_step, name="ln1_1")(
+                x, timestep), cond, deterministic=deterministic)
+        x = x + a
+        act = gelu2 if self.activate == "GELU2" else jax.nn.gelu
+        h = nn.LayerNorm(name="ln2")(x)
+        h = _dense(self.mlp_hidden_times * self.n_embd, "mlp_fc")(h)
+        h = act(h)
+        h = _dense(self.n_embd, "mlp_proj")(h)
+        h = nn.Dropout(self.resid_pdrop)(h, deterministic=deterministic)
+        return x + h
+
+
+class DenoiserTransformer(nn.Module):
+    """Text/condition -> token-grid denoiser (transformer_utils.py:299-444).
+
+    ``__call__(tokens (B, L), cond (B, S, condition_dim), t (B,))`` returns
+    logits (B, num_embed - 1, L) where num_embed includes the MASK class.
+    """
+    num_embed: int               # codebook size WITHOUT mask
+    spatial_size: Sequence[int] = (32, 32)
+    n_layer: int = 19
+    n_embd: int = 64
+    n_head: int = 16
+    content_seq_len: int = 1024
+    condition_seq_len: int = 77
+    condition_dim: int = 512
+    diffusion_step: int = 100
+    attn_pdrop: float = 0.0
+    resid_pdrop: float = 0.0
+    mlp_hidden_times: int = 4
+    block_activate: str = "GELU2"
+    remat: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @property
+    def num_classes(self) -> int:
+        return self.num_embed + 1
+
+    @nn.compact
+    def __call__(self, tokens: jax.Array, cond: Optional[jax.Array],
+                 t: jax.Array, *, deterministic: bool = True) -> jax.Array:
+        emb = TokenGridEmbedding(self.num_embed, self.spatial_size,
+                                 self.n_embd, name="content_emb")(tokens)
+        if cond is None:
+            cond = jnp.zeros((tokens.shape[0], 1, self.condition_dim),
+                             emb.dtype)
+        cond = cond.astype(emb.dtype)
+        block_cls = Block
+        if self.remat:
+            block_cls = nn.remat(Block, static_argnums=(4,))
+        for i in range(self.n_layer):
+            emb = block_cls(self.n_embd, self.n_head, self.diffusion_step,
+                            self.mlp_hidden_times, self.attn_pdrop,
+                            self.resid_pdrop, self.block_activate,
+                            name=f"block{i}")(
+                emb, cond, t, deterministic=deterministic)
+        h = nn.LayerNorm(name="ln_out")(emb)
+        logits = _dense(self.num_embed, "to_logits")(h)  # out_cls = K-1
+        return jnp.swapaxes(logits, 1, 2)  # (B, K-1, L)

@@ -1,0 +1,195 @@
+"""Stage-2 model: D3PM over VQ tokens with switchable conditioning.
+
+Combines the pieces the reference splits across ``DiffusionTransformer``
+(reference src/models/motionencoder/diffusion_transformer.py:71-457) and the
+``DiscreteDiffusion`` glue (src/models/networks/discrete_diffusion.py:8-94):
+
+* :class:`D3PM` — flax module owning the denoiser transformer, the
+  precomputed schedule, and the importance-sampling ``Lt`` buffers (a
+  ``diffusion`` variable collection instead of torch registered buffers);
+* :class:`DiscreteDiffusionModel` — adds the conditioner and mirrors the
+  reference glue: encode video through the frozen VQ-VAE happens in the
+  trainer; this module consumes flat token grids.
+
+The reference's learnable empty-text parameter (dt.py:155) exists when
+``learnable_cf`` is set; by default the CF embedding comes from the
+conditioner's null branch, like the committed code's zeroed embeddings.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any, Mapping, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from . import d3pm
+from .conditioning import build_conditioner
+from .denoiser import DenoiserTransformer
+
+__all__ = ["D3PM", "DiscreteDiffusionModel", "make_discrete_diffusion"]
+
+
+class D3PM(nn.Module):
+    """Discrete diffusion over a token grid (DiffusionTransformer parity)."""
+    num_embed: int                       # codebook size WITHOUT mask
+    content_seq_len: int = 1024
+    spatial_size: Sequence[int] = (32, 32)
+    diffusion_step: int = 100
+    auxiliary_loss_weight: float = 5.0e-4
+    adaptive_auxiliary_loss: bool = True
+    mask_weight: tuple = (1.0, 1.0)
+    guidance_scale: float = 2.0
+    learnable_cf: bool = False
+    # denoiser hyperparameters (reference transformer_utils.yaml)
+    n_layer: int = 19
+    n_embd: int = 64
+    n_head: int = 16
+    condition_seq_len: int = 77
+    condition_dim: int = 512
+    mlp_hidden_times: int = 4
+    block_activate: str = "GELU2"
+    attn_pdrop: float = 0.0
+    resid_pdrop: float = 0.0
+    remat: bool = False
+
+    @property
+    def num_classes(self) -> int:
+        return self.num_embed + 1
+
+    def setup(self):
+        self.schedule = d3pm.make_schedule(self.diffusion_step,
+                                           self.num_classes)
+        self.transformer = DenoiserTransformer(
+            num_embed=self.num_embed, spatial_size=self.spatial_size,
+            n_layer=self.n_layer, n_embd=self.n_embd, n_head=self.n_head,
+            content_seq_len=self.content_seq_len,
+            condition_seq_len=self.condition_seq_len,
+            condition_dim=self.condition_dim,
+            diffusion_step=self.diffusion_step,
+            attn_pdrop=self.attn_pdrop, resid_pdrop=self.resid_pdrop,
+            mlp_hidden_times=self.mlp_hidden_times,
+            block_activate=self.block_activate, remat=self.remat)
+        self._lt_history = self.variable(
+            "diffusion", "lt_history",
+            lambda: jnp.zeros((self.diffusion_step,), jnp.float32))
+        self._lt_count = self.variable(
+            "diffusion", "lt_count",
+            lambda: jnp.zeros((self.diffusion_step,), jnp.float32))
+        if self.learnable_cf:
+            self.empty_text_embed = self.param(
+                "empty_text_embed", nn.initializers.normal(1.0),
+                (self.condition_seq_len, self.condition_dim))
+
+    def _denoise_fn(self, deterministic: bool):
+        def fn(x_t, cond_emb, t):
+            return self.transformer(x_t, cond_emb, t,
+                                    deterministic=deterministic)
+        return fn
+
+    def __call__(self, content_token: jax.Array,
+                 cond_emb: Optional[jax.Array], *, train: bool = True
+                 ) -> dict:
+        """Training loss (dt.py:520-565): returns mean vb loss + x0 recon."""
+        rng = self.make_rng("diffusion")
+        lt = d3pm.LtState(history=self._lt_history.value,
+                          count=self._lt_count.value)
+        vb_loss, aux, new_lt = d3pm.train_loss(
+            rng, self.schedule, self._denoise_fn(not train),
+            content_token, cond_emb, lt,
+            auxiliary_loss_weight=self.auxiliary_loss_weight,
+            adaptive_auxiliary_loss=self.adaptive_auxiliary_loss,
+            mask_weight=tuple(self.mask_weight), is_train=train)
+        if train and not self.is_initializing():
+            self._lt_history.value = new_lt.history
+            self._lt_count.value = new_lt.count
+        b, L = content_token.shape
+        loss = jnp.sum(vb_loss) / (b * L)   # dt.py:554
+        return {"loss": loss, "pred_data": aux["x0_recon"],
+                "logits": jnp.exp(aux["log_model_prob"])}
+
+    def sample(self, cond_emb: Optional[jax.Array],
+               cf_cond_emb: Optional[jax.Array], batch_size: int,
+               *, filter_ratio: float = 0.0,
+               content_token: jax.Array | None = None) -> jax.Array:
+        rng = self.make_rng("diffusion")
+        return d3pm.sample(
+            rng, self.schedule, self._denoise_fn(True), cond_emb,
+            cf_cond_emb, batch_size, self.content_seq_len,
+            guidance_scale=self.guidance_scale, filter_ratio=filter_ratio,
+            content_token=content_token)
+
+    def sample_fast(self, cond_emb, cf_cond_emb, batch_size: int,
+                    skip_step: int = 1) -> jax.Array:
+        rng = self.make_rng("diffusion")
+        return d3pm.sample_fast(
+            rng, self.schedule, self._denoise_fn(True), cond_emb,
+            cf_cond_emb, batch_size, self.content_seq_len,
+            guidance_scale=self.guidance_scale, skip_step=skip_step)
+
+
+class DiscreteDiffusionModel(nn.Module):
+    """Conditioner + D3PM (the reference's DiscreteDiffusion glue, with the
+    VQ-VAE encode/decode handled by the trainer)."""
+    d3pm_cfg: Mapping[str, Any]
+    conditioner_cfg: Mapping[str, Any] | None = None
+
+    def setup(self):
+        self.conditioner = build_conditioner(self.conditioner_cfg)
+        self.diffusion = D3PM(**dict(self.d3pm_cfg))
+
+    def __call__(self, batch: Mapping[str, Any], content_token: jax.Array,
+                 *, train: bool = True) -> dict:
+        b = content_token.shape[0]
+        cond_emb, _ = self.conditioner(batch, b)
+        return self.diffusion(content_token, cond_emb, train=train)
+
+    def sample(self, batch: Mapping[str, Any], batch_size: int) -> jax.Array:
+        cond_emb, cf_cond_emb = self.conditioner(batch, batch_size)
+        return self.diffusion.sample(cond_emb, cf_cond_emb, batch_size)
+
+    def sample_fast(self, batch: Mapping[str, Any], batch_size: int,
+                    skip_step: int = 1) -> jax.Array:
+        cond_emb, cf_cond_emb = self.conditioner(batch, batch_size)
+        return self.diffusion.sample_fast(cond_emb, cf_cond_emb, batch_size,
+                                          skip_step)
+
+
+def make_discrete_diffusion(model_cfg: Mapping[str, Any], num_embed: int,
+                            latent_shape: Sequence[int]
+                            ) -> DiscreteDiffusionModel:
+    """Build from a config node mirroring the reference's YAML nesting
+    (configs/model/discrete_diffusion.yaml + motionencoder/*.yaml)."""
+    g = dict(model_cfg.get("generator", {}))
+    dcfg = dict(g.get("diffusion_model", {}))
+    tcfg = dict(dcfg.pop("transformer", {}))
+    dalle = dict(tcfg.pop("dalle", {}))
+    t, h, w = latent_shape
+    seq_len = int(np.prod(latent_shape))
+    spatial = dalle.get("spatial_size", [h * t, w])
+    d3pm_cfg = dict(
+        num_embed=num_embed,
+        content_seq_len=seq_len,
+        spatial_size=tuple(spatial),
+        diffusion_step=int(dcfg.get("diffusion_step", 100)),
+        auxiliary_loss_weight=float(dcfg.get("auxiliary_loss_weight", 5e-4)),
+        adaptive_auxiliary_loss=bool(
+            dcfg.get("adaptive_auxiliary_loss", True)),
+        mask_weight=tuple(dcfg.get("mask_weight", (1.0, 1.0))),
+        guidance_scale=float(dcfg.get("guidance_scale", 2.0)),
+        learnable_cf=bool(dcfg.get("learnable_cf", False)),
+        n_layer=int(tcfg.get("n_layer", 19)),
+        n_embd=int(tcfg.get("n_embd", 64)),
+        n_head=int(tcfg.get("n_head", 16)),
+        condition_seq_len=int(tcfg.get("condition_seq_len", 77)),
+        condition_dim=int(tcfg.get("condition_dim", 512)),
+        mlp_hidden_times=int(tcfg.get("mlp_hidden_times", 4)),
+        block_activate=str(tcfg.get("block_activate", "GELU2")),
+        attn_pdrop=float(tcfg.get("attn_pdrop", 0.0)),
+        resid_pdrop=float(tcfg.get("resid_pdrop", 0.0)),
+        remat=bool(tcfg.get("checkpoint", False)),
+    )
+    return DiscreteDiffusionModel(d3pm_cfg=d3pm_cfg,
+                                  conditioner_cfg=g.get("textencoder"))

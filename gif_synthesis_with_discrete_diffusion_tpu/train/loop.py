@@ -137,8 +137,11 @@ class Trainer:
 
             if (epoch + 1) % self.check_val_every_n_epoch == 0:
                 val_metrics = self._run_epoch("val", epoch)
+                extra = self.extra_eval_metrics("val", epoch)
+                if extra:
+                    val_metrics.update(extra)
+                    self._log(extra, self.global_step)
                 final_metrics.update(val_metrics)
-                val_metrics.update(self.extra_eval_metrics("val", epoch))
                 self.ckpt.save(self.global_step, self.state, val_metrics)
                 if self._early_stop(val_metrics):
                     log.info("early stopping at epoch %d", epoch)

@@ -1,0 +1,277 @@
+"""Stage 2: discrete-diffusion training over frozen VQ-VAE tokens.
+
+Capability parity with the reference's ``MultistageTextMotionModel``
+(reference src/models/multistage_text_motion_model.py:22-281): a trainable
+generator (conditioner + D3PM denoiser) and a frozen autoencoder whose
+checkpoint loads from stage 1, Adam(gen_lr, betas=(0.5, 0.999)), loss =
+diffusion vb loss, periodic synthesis rendering and (hookable) FVD eval.
+
+Divergences from the reference (intended-vs-committed, SURVEY §7):
+* the reference creates an Adam(1e-6) for the frozen autoencoder and calls
+  ``opt.step()`` unconditionally even during val/test (multistage:186-197) —
+  a no-op-at-best bug; here frozen means frozen (no optimizer);
+* per-step single-step decode for viz (dd.py:41 decodes the x0 prediction
+  EVERY training step) is only done when rendering, not every step;
+* ``torch.autograd.set_detect_anomaly`` per step (multistage:192) maps to
+  the optional debug_nans config flag.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any, Mapping
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import struct
+
+from ..data.preprocess import preprocess_clip
+from ..models.clip_text import make_tokenizer
+from ..models.discrete_diffusion import (DiscreteDiffusionModel,
+                                         make_discrete_diffusion)
+from ..models.vqvae import VQVAE
+from ..train.loop import Trainer
+from ..train.metrics import weighted_losses
+from ..train.stage1 import make_vqvae
+from ..utils.checkpoint import CheckpointManager
+from ..utils.logging import get_logger
+from ..utils.renderer import render_animation
+
+log = get_logger(__name__)
+
+__all__ = ["Stage2Trainer", "Stage2State", "load_stage1_checkpoint"]
+
+
+@struct.dataclass
+class Stage2State:
+    step: jax.Array
+    gen_params: Any
+    diffusion: Any          # Lt buffers
+    ae_params: Any
+    ae_batch_stats: Any
+    ae_codebook: Any
+    opt_state: Any
+
+
+def load_stage1_checkpoint(ckpt_dir: str, model: VQVAE, example_video) -> dict:
+    """Restore a stage-1 VQVAEState and return its model variables."""
+    from ..train.stage1 import init_vqvae_state
+    import optax as _optax
+    tx = _optax.adam(1e-4)
+    template = init_vqvae_state(model, tx, example_video, jax.random.key(0))
+    mgr = CheckpointManager(ckpt_dir, monitor=None)
+    state = mgr.restore(template)
+    mgr.close()
+    return {"params": state.params, "batch_stats": state.batch_stats,
+            "codebook": state.codebook}
+
+
+class Stage2Trainer(Trainer):
+    def __init__(self, cfg, datamodule, run_dir, mesh=None):
+        super().__init__(cfg, datamodule, run_dir, mesh)
+        self.model_cfg = cfg.get("model", {})
+        self.loss_dict = dict(self.model_cfg.get(
+            "generator_losses", {}).get("loss_dict", {"l_dummy": 1.0}))
+        lr = float(self.model_cfg.get("lr_args", {}).get("gen_lr", 1e-4))
+        self.tx = optax.adam(lr, b1=0.5, b2=0.999)
+        self.autoencoder = make_vqvae(
+            {"generator": self.model_cfg.get("autoencoder", {})})
+        self.resolution = self.autoencoder.resolution
+        self.latent_shape = self.autoencoder.latent_shape
+        self.generator = make_discrete_diffusion(
+            self.model_cfg, num_embed=self.autoencoder.n_codes,
+            latent_shape=self.latent_shape)
+        self._names = [n for n in self.loss_dict] + ["total"]
+        self.tokenizer = make_tokenizer(
+            self.model_cfg.get("generator", {}).get(
+                "textencoder", {}).get("bpe_path") if isinstance(
+                    self.model_cfg.get("generator", {}).get("textencoder"),
+                    Mapping) else None)
+        self._text_mode = (self.model_cfg.get("generator", {})
+                           .get("textencoder") or {}).get("mode") == "text"
+        self.evaluator = None  # set externally or via cfg (FVD)
+
+    def loss_names(self):
+        return self._names
+
+    def _prepare_batch(self, batch: Mapping[str, Any]) -> dict:
+        batch = dict(batch)
+        if self._text_mode and "text" in batch:
+            batch["text_tokens"] = self.tokenizer(batch["text"])
+        return batch
+
+    def build(self, example_batch):
+        example_batch = self._prepare_batch(example_batch)
+        example_batch = {k: (v[:1] if hasattr(v, "__getitem__") else v)
+                         for k, v in example_batch.items()}
+        video = preprocess_clip(jnp.asarray(example_batch["video"]),
+                                self.resolution)
+        a_rng, g_rng, d_rng = jax.random.split(self.next_rng(), 3)
+        ae_vars = self.autoencoder.init(
+            {"params": a_rng, "codebook": a_rng}, {"video": video},
+            train=True)
+        ckpt_paths = self.model_cfg.get("checkpoint_paths") or {}
+        if isinstance(ckpt_paths, Mapping) and ckpt_paths.get("autoencoder"):
+            ae_vars = load_stage1_checkpoint(
+                ckpt_paths["autoencoder"], self.autoencoder, video)
+            log.info("loaded stage-1 autoencoder from %s",
+                     ckpt_paths["autoencoder"])
+
+        tokens = self.autoencoder.apply(
+            {"params": ae_vars["params"],
+             "batch_stats": ae_vars.get("batch_stats", {}),
+             "codebook": ae_vars["codebook"]},
+            video, method=VQVAE.encode)
+        flat = tokens.reshape(tokens.shape[0], -1)
+        dev_batch = {k: jnp.asarray(v)
+                     for k, v in example_batch.items() if k != "text"}
+        gen_vars = self.generator.init(
+            {"params": g_rng, "diffusion": d_rng}, dev_batch, flat,
+            train=True)
+        self.state = Stage2State(
+            step=jnp.zeros((), jnp.int32),
+            gen_params=gen_vars["params"],
+            diffusion=gen_vars["diffusion"],
+            ae_params=ae_vars["params"],
+            ae_batch_stats=ae_vars.get("batch_stats", {}),
+            ae_codebook=ae_vars["codebook"],
+            opt_state=self.tx.init(gen_vars["params"]))
+
+        self._jit_train = jax.jit(functools.partial(
+            _train_step, autoencoder=self.autoencoder,
+            generator=self.generator, tx=self.tx, loss_dict=self.loss_dict,
+            resolution=self.resolution), donate_argnums=(0,))
+        self._jit_eval = jax.jit(functools.partial(
+            _eval_step, autoencoder=self.autoencoder,
+            generator=self.generator, loss_dict=self.loss_dict,
+            resolution=self.resolution))
+        self._jit_sample = jax.jit(functools.partial(
+            _sample_step, autoencoder=self.autoencoder,
+            generator=self.generator, resolution=self.resolution,
+            latent_shape=self.latent_shape))
+        n_params = sum(x.size for x in jax.tree.leaves(self.state.gen_params))
+        log.info("D3PM generator params: %.2fM", n_params / 1e6)
+
+    def train_step(self, state, batch, rng):
+        return self._jit_train(state, batch, rng)
+
+    def eval_step(self, state, batch, rng):
+        return self._jit_eval(state, batch, rng)
+
+    def sample_videos(self, batch, rng) -> jax.Array:
+        """Generate clips for a (host) batch: returns (B, T, H, W, 3)."""
+        batch = self._prepare_batch(batch)
+        db = {k: jnp.asarray(v) for k, v in batch.items() if k != "text"}
+        return self._jit_sample(self.state, db, rng)
+
+    def _run_epoch(self, split, epoch):
+        # host-side tokenization before the base loop ships batches
+        orig = self.datamodule
+        if self._text_mode:
+            self.datamodule = _TokenizingDM(orig, self._prepare_batch)
+        try:
+            return super()._run_epoch(split, epoch)
+        finally:
+            self.datamodule = orig
+
+    def render_samples(self, epoch: int) -> None:
+        try:
+            batch = next(iter(self.datamodule.val_batches(epoch)))
+        except StopIteration:
+            return
+        small = {k: (v[:1] if hasattr(v, "__getitem__") else v)
+                 for k, v in batch.items()}
+        videos = self.sample_videos(small, self.next_rng())
+        render_animation(jax.device_get(videos[0]),
+                         self.run_dir / f"epoch{epoch}_synthesis.gif")
+        gt = preprocess_clip(jnp.asarray(small["video"]), self.resolution)
+        render_animation(jax.device_get(gt[0]),
+                         self.run_dir / f"epoch{epoch}_original.gif")
+
+    def extra_eval_metrics(self, split: str, epoch: int) -> dict:
+        if self.evaluator is None:
+            return {}
+        every = int(self.cfg.get("trainer", {}).get("fvd_every_n_epochs", 5))
+        if split == "val" and epoch % every != 0:
+            return {}
+        return self.evaluator.evaluate(self, split, epoch)
+
+
+class _TokenizingDM:
+    """Wraps a datamodule so every batch carries text_tokens."""
+
+    def __init__(self, dm, prepare):
+        self._dm = dm
+        self._prepare = prepare
+
+    def __getattr__(self, name):
+        attr = getattr(self._dm, name)
+        if name.endswith("_batches"):
+            def wrapped(*a, **k):
+                for b in attr(*a, **k):
+                    yield self._prepare(b)
+            return wrapped
+        return attr
+
+
+def _encode_tokens(autoencoder, state: Stage2State, video):
+    tokens = autoencoder.apply(
+        {"params": state.ae_params, "batch_stats": state.ae_batch_stats,
+         "codebook": state.ae_codebook}, video, method=VQVAE.encode)
+    return jax.lax.stop_gradient(tokens.reshape(tokens.shape[0], -1))
+
+
+def _gen_apply(generator, params, diffusion, batch, flat, rng, train):
+    variables = {"params": params, "diffusion": diffusion}
+    if train:
+        out, mutated = generator.apply(
+            variables, batch, flat, train=True, rngs={"diffusion": rng},
+            mutable=["diffusion"])
+        return out, mutated["diffusion"]
+    out = generator.apply(variables, batch, flat, train=False,
+                          rngs={"diffusion": rng})
+    return out, diffusion
+
+
+def _train_step(state: Stage2State, batch, rng, *, autoencoder, generator,
+                tx, loss_dict, resolution):
+    video = preprocess_clip(batch["video"], resolution)
+    flat = _encode_tokens(autoencoder, state, video)
+
+    def loss_fn(params):
+        out, new_diff = _gen_apply(generator, params, state.diffusion,
+                                   batch, flat, rng, True)
+        total, values = weighted_losses(loss_dict, {"losses": out["loss"]})
+        return total, (values, new_diff)
+
+    (_, (values, new_diff)), grads = jax.value_and_grad(
+        loss_fn, has_aux=True)(state.gen_params)
+    updates, new_opt = tx.update(grads, state.opt_state, state.gen_params)
+    new_params = optax.apply_updates(state.gen_params, updates)
+    new_state = state.replace(step=state.step + 1, gen_params=new_params,
+                              diffusion=new_diff, opt_state=new_opt)
+    return new_state, values
+
+
+def _eval_step(state: Stage2State, batch, rng, *, autoencoder, generator,
+               loss_dict, resolution):
+    video = preprocess_clip(batch["video"], resolution)
+    flat = _encode_tokens(autoencoder, state, video)
+    out, _ = _gen_apply(generator, state.gen_params, state.diffusion,
+                        batch, flat, rng, False)
+    _, values = weighted_losses(loss_dict, {"losses": out["loss"]})
+    return values
+
+
+def _sample_step(state: Stage2State, batch, rng, *, autoencoder, generator,
+                 resolution, latent_shape):
+    b = batch["video"].shape[0]
+    tokens = generator.apply(
+        {"params": state.gen_params, "diffusion": state.diffusion},
+        batch, b, method=DiscreteDiffusionModel.sample,
+        rngs={"diffusion": rng})
+    tokens = tokens.reshape(b, *latent_shape)
+    return autoencoder.apply(
+        {"params": state.ae_params, "batch_stats": state.ae_batch_stats,
+         "codebook": state.ae_codebook}, tokens, method=VQVAE.decode)

@@ -1,0 +1,108 @@
+"""CLIP text tower: converter parity vs torch MultiheadAttention blocks."""
+import numpy as np
+import torch
+import torch.nn as nn
+
+import jax
+import jax.numpy as jnp
+
+from gif_synthesis_with_discrete_diffusion_tpu.convert.torch_clip import (
+    convert_clip_text)
+from gif_synthesis_with_discrete_diffusion_tpu.models.clip_text import (
+    ClipTextModel, HashTokenizer, make_tokenizer)
+
+W, HEADS, LAYERS, VOCAB, CTX = 32, 4, 2, 64, 12
+
+
+class _TorchTextTower(nn.Module):
+    """Minimal CLIP-style text tower built from standard torch modules —
+    the oracle for the converter's key mapping."""
+
+    def __init__(self):
+        super().__init__()
+        self.token_embedding = nn.Embedding(VOCAB, W)
+        self.positional_embedding = nn.Parameter(torch.randn(CTX, W) * 0.01)
+        self.ln_final = nn.LayerNorm(W)
+        self.text_projection = nn.Parameter(torch.randn(W, W) * 0.02)
+        self.resblocks = nn.ModuleList()
+        for _ in range(LAYERS):
+            blk = nn.Module()
+            blk.attn = nn.MultiheadAttention(W, HEADS, batch_first=False)
+            blk.ln_1 = nn.LayerNorm(W)
+            blk.ln_2 = nn.LayerNorm(W)
+            blk.mlp = nn.Module()
+            blk.mlp.c_fc = nn.Linear(W, W * 4)
+            blk.mlp.c_proj = nn.Linear(W * 4, W)
+            self.resblocks.append(blk)
+
+    def forward(self, tokens):
+        x = self.token_embedding(tokens) + self.positional_embedding[None]
+        x = x.permute(1, 0, 2)  # LND
+        L = x.shape[0]
+        mask = torch.full((L, L), float("-inf")).triu(1)
+        for blk in self.resblocks:
+            h = blk.ln_1(x)
+            h, _ = blk.attn(h, h, h, need_weights=False, attn_mask=mask)
+            x = x + h
+            h = blk.ln_2(x)
+            h = blk.mlp.c_fc(h)
+            h = h * torch.sigmoid(1.702 * h)
+            x = x + blk.mlp.c_proj(h)
+        x = x.permute(1, 0, 2)
+        x = self.ln_final(x)
+        pooled = x[torch.arange(x.shape[0]), tokens.argmax(dim=-1)]
+        return pooled @ self.text_projection
+
+
+def test_clip_text_converter_parity():
+    torch.manual_seed(0)
+    ref = _TorchTextTower().eval()
+    # export with CLIP-checkpoint-style key names
+    sd = {}
+    sd["token_embedding.weight"] = ref.token_embedding.weight.detach().numpy()
+    sd["positional_embedding"] = ref.positional_embedding.detach().numpy()
+    sd["ln_final.weight"] = ref.ln_final.weight.detach().numpy()
+    sd["ln_final.bias"] = ref.ln_final.bias.detach().numpy()
+    sd["text_projection"] = ref.text_projection.detach().numpy()
+    for i, blk in enumerate(ref.resblocks):
+        p = f"transformer.resblocks.{i}"
+        sd[f"{p}.attn.in_proj_weight"] = \
+            blk.attn.in_proj_weight.detach().numpy()
+        sd[f"{p}.attn.in_proj_bias"] = blk.attn.in_proj_bias.detach().numpy()
+        sd[f"{p}.attn.out_proj.weight"] = \
+            blk.attn.out_proj.weight.detach().numpy()
+        sd[f"{p}.attn.out_proj.bias"] = \
+            blk.attn.out_proj.bias.detach().numpy()
+        for ln in ("ln_1", "ln_2"):
+            sd[f"{p}.{ln}.weight"] = getattr(blk, ln).weight.detach().numpy()
+            sd[f"{p}.{ln}.bias"] = getattr(blk, ln).bias.detach().numpy()
+        sd[f"{p}.mlp.c_fc.weight"] = blk.mlp.c_fc.weight.detach().numpy()
+        sd[f"{p}.mlp.c_fc.bias"] = blk.mlp.c_fc.bias.detach().numpy()
+        sd[f"{p}.mlp.c_proj.weight"] = blk.mlp.c_proj.weight.detach().numpy()
+        sd[f"{p}.mlp.c_proj.bias"] = blk.mlp.c_proj.bias.detach().numpy()
+
+    params = convert_clip_text(sd, width=W, heads=HEADS, layers=LAYERS)
+    model = ClipTextModel(vocab_size=VOCAB, context_length=CTX, width=W,
+                          heads=HEADS, layers=LAYERS, embed_dim=W)
+
+    rng = np.random.default_rng(1)
+    tokens = rng.integers(1, VOCAB - 1, (3, CTX))
+    tokens[:, -1] = VOCAB - 1  # EOT = max id (argmax pooling)
+    with torch.no_grad():
+        want = ref(torch.from_numpy(tokens)).numpy()
+    got = model.apply({"params": params}, jnp.asarray(tokens))
+    np.testing.assert_allclose(np.asarray(got), want, rtol=2e-4, atol=2e-4)
+
+
+def test_hash_tokenizer_deterministic():
+    tok = HashTokenizer()
+    a = tok(["baseball pitch", "breast stroke"])
+    b = tok(["baseball pitch", "breast stroke"])
+    np.testing.assert_array_equal(a, b)
+    assert a.shape == (2, 77)
+    assert (a[:, 0] == tok.sot).all()
+
+
+def test_make_tokenizer_fallback():
+    tok = make_tokenizer(None)
+    assert isinstance(tok, HashTokenizer)

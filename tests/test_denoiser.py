@@ -1,0 +1,76 @@
+"""Denoiser transformer + token embedding unit tests."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from gif_synthesis_with_discrete_diffusion_tpu.models.denoiser import (
+    DenoiserTransformer, gelu2)
+from gif_synthesis_with_discrete_diffusion_tpu.models.embeddings import (
+    TokenGridEmbedding)
+
+
+def test_gelu2_matches_formula():
+    x = np.linspace(-3, 3, 50).astype(np.float32)
+    got = np.asarray(gelu2(jnp.asarray(x)))
+    want = x * (1.0 / (1.0 + np.exp(-1.702 * x)))
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+
+
+def test_token_grid_embedding_shapes_and_pos():
+    emb = TokenGridEmbedding(num_embed=16, spatial_size=(4, 4), embed_dim=8)
+    tokens = jnp.asarray(np.arange(32).reshape(2, 16) % 17)
+    variables = emb.init(jax.random.key(0), tokens)
+    out = emb.apply(variables, tokens)
+    assert out.shape == (2, 16, 8)
+    # mask token (index 16 = num_embed) must be embeddable
+    out2 = emb.apply(variables, jnp.full((1, 16), 16, jnp.int32))
+    assert np.isfinite(np.asarray(out2)).all()
+    # position embedding differs across positions for identical tokens
+    same_tok = emb.apply(variables, jnp.zeros((1, 16), jnp.int32))
+    assert np.abs(np.asarray(same_tok[0, 0] - same_tok[0, 5])).max() > 0
+
+
+def test_denoiser_output_shape_and_logit_count():
+    model = DenoiserTransformer(num_embed=16, spatial_size=(4, 4),
+                                n_layer=2, n_embd=32, n_head=4,
+                                content_seq_len=16, condition_dim=24,
+                                diffusion_step=10)
+    tokens = jnp.zeros((2, 16), jnp.int32)
+    cond = jnp.zeros((2, 3, 24))
+    t = jnp.asarray([3, 7])
+    variables = model.init(jax.random.key(0), tokens, cond, t)
+    out = model.apply(variables, tokens, cond, t)
+    # K-1 logits: MASK class has no logit (transformer_utils.py:352-356)
+    assert out.shape == (2, 16, 16)  # (B, num_embed, L)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_denoiser_timestep_changes_output():
+    model = DenoiserTransformer(num_embed=16, spatial_size=(4, 4),
+                                n_layer=1, n_embd=32, n_head=4,
+                                content_seq_len=16, condition_dim=24,
+                                diffusion_step=10)
+    tokens = jnp.zeros((1, 16), jnp.int32)
+    cond = jnp.zeros((1, 1, 24))
+    variables = model.init(jax.random.key(0), tokens, cond,
+                           jnp.asarray([0]))
+    y0 = model.apply(variables, tokens, cond, jnp.asarray([0]))
+    y9 = model.apply(variables, tokens, cond, jnp.asarray([9]))
+    assert np.abs(np.asarray(y0 - y9)).max() > 1e-5
+
+
+def test_denoiser_condition_changes_output():
+    model = DenoiserTransformer(num_embed=16, spatial_size=(4, 4),
+                                n_layer=1, n_embd=32, n_head=4,
+                                content_seq_len=16, condition_dim=24,
+                                diffusion_step=10)
+    tokens = jnp.zeros((1, 16), jnp.int32)
+    variables = model.init(jax.random.key(0), tokens,
+                           jnp.zeros((1, 1, 24)), jnp.asarray([0]))
+    y0 = model.apply(variables, tokens, jnp.zeros((1, 1, 24)),
+                     jnp.asarray([0]))
+    y1 = model.apply(variables, tokens, jnp.ones((1, 1, 24)),
+                     jnp.asarray([0]))
+    assert np.abs(np.asarray(y0 - y1)).max() > 1e-5
