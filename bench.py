@@ -1,0 +1,196 @@
+#!/usr/bin/env python
+"""Headline benchmark: sampled clips/sec/chip for 100-step D3PM sampling.
+
+North-star config (BASELINE.md): conditional 16-frame 64x64 clip sampling,
+100 diffusion steps, guidance_scale=2 (classifier-free guidance -> the
+batched-2B denoiser forward), UCF101-scale models (VQ-VAE n_codes=2048,
+downsample [2,8,8] -> 8x8x8=512 latent tokens; 19-layer n_embd=64 denoiser),
+followed by VQ-VAE decode to pixels. The whole reverse process + decode is
+one jit-compiled lax.scan program.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "clips/sec/chip", "vs_baseline": N}
+
+vs_baseline: the reference publishes no numbers (BASELINE.md). The divisor
+below is an engineering estimate of the PyTorch reference on its actual
+hardware (A40): 100 steps x 2 sequential forwards of a 19-layer tiny-width
+transformer = ~60k kernel launches per batch; launch-bound at ~5-10us each
+gives ~25-55 clips/sec at batch 16. We use 40 clips/sec/GPU as the denominator
+until a measured PyTorch-GPU number replaces it.
+
+Secondary benchmarks (BASELINE.md configs 1-2):
+  python bench.py --metric vqvae      # VQ-VAE enc/dec frames/sec
+  python bench.py --metric train_step # VQ-VAE training step/sec (batch 64)
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+ESTIMATED_PYTORCH_GPU_CLIPS_PER_SEC = 40.0
+
+SEQ_LEN = 16
+RES = 64
+N_CODES = 2048
+DOWNSAMPLE = (2, 8, 8)
+BATCH = 32
+DIFFUSION_STEPS = 100
+
+
+def _build_models():
+    import jax
+    from gif_synthesis_with_discrete_diffusion_tpu.models.discrete_diffusion \
+        import D3PM
+    from gif_synthesis_with_discrete_diffusion_tpu.models.vqvae import VQVAE
+
+    latent = tuple(s // d for s, d in zip((SEQ_LEN, RES, RES), DOWNSAMPLE))
+    seq = int(np.prod(latent))
+    ae = VQVAE(embedding_dim=128, n_codes=N_CODES, n_hiddens=256,
+               n_res_layers=2, downsample=DOWNSAMPLE,
+               sequence_length=SEQ_LEN, resolution=RES)
+    d3pm = D3PM(num_embed=N_CODES, content_seq_len=seq,
+                spatial_size=(latent[0] * latent[1], latent[2]),
+                diffusion_step=DIFFUSION_STEPS, guidance_scale=2.0,
+                n_layer=19, n_embd=64, n_head=16, condition_dim=512)
+    return ae, d3pm, latent
+
+
+def bench_sampling() -> dict:
+    import jax
+    import jax.numpy as jnp
+    from gif_synthesis_with_discrete_diffusion_tpu.models.discrete_diffusion \
+        import D3PM
+    from gif_synthesis_with_discrete_diffusion_tpu.models.vqvae import VQVAE
+
+    ae, d3pm, latent = _build_models()
+    x = jnp.zeros((1, SEQ_LEN, RES, RES, 3), jnp.float32)
+    ae_vars = ae.init({"params": jax.random.key(0),
+                       "codebook": jax.random.key(1)},
+                      {"video": x}, train=True)
+    tokens0 = jnp.zeros((1, d3pm.content_seq_len), jnp.int32)
+    cond = jnp.zeros((1, 1, 512), jnp.float32)
+    g_vars = d3pm.init({"params": jax.random.key(2),
+                        "diffusion": jax.random.key(3)},
+                       tokens0, cond, train=True)
+
+    def sample(params, diffusion, ae_vars, cond, rng):
+        tokens = d3pm.apply(
+            {"params": params, "diffusion": diffusion}, cond,
+            jnp.zeros_like(cond), BATCH, method=D3PM.sample,
+            rngs={"diffusion": rng})
+        grid = tokens.reshape(BATCH, *latent)
+        video = ae.apply(ae_vars, grid, method=VQVAE.decode)
+        # scalar checksum: forces full execution but transfers 4 bytes
+        # (block_until_ready alone is lazy through the axon tunnel)
+        return jnp.sum(video)
+
+    fn = jax.jit(sample)
+    cond_b = jnp.zeros((BATCH, 1, 512), jnp.float32)
+    args = (g_vars["params"], g_vars["diffusion"],
+            {"params": ae_vars["params"],
+             "batch_stats": ae_vars.get("batch_stats", {}),
+             "codebook": ae_vars["codebook"]}, cond_b)
+
+    float(fn(*args, jax.random.key(10)))  # warmup + compile
+    times = []
+    for i in range(5):
+        t0 = time.perf_counter()
+        float(fn(*args, jax.random.key(20 + i)))
+        times.append(time.perf_counter() - t0)
+    dt = float(np.median(times))
+    clips_per_sec = BATCH / dt
+    return {
+        "metric": "sampled clips/sec/chip (100-step D3PM, 16f 64px, CFG 2)",
+        "value": round(clips_per_sec, 3),
+        "unit": "clips/sec/chip",
+        "vs_baseline": round(
+            clips_per_sec / ESTIMATED_PYTORCH_GPU_CLIPS_PER_SEC, 3),
+    }
+
+
+def bench_vqvae() -> dict:
+    import jax
+    import jax.numpy as jnp
+    from gif_synthesis_with_discrete_diffusion_tpu.models.vqvae import VQVAE
+
+    ae, _, latent = _build_models()
+    x = jnp.zeros((BATCH, SEQ_LEN, RES, RES, 3), jnp.float32)
+    ae_vars = ae.init({"params": jax.random.key(0),
+                       "codebook": jax.random.key(1)},
+                      {"video": x[:1]}, train=True)
+    variables = {"params": ae_vars["params"],
+                 "batch_stats": ae_vars.get("batch_stats", {}),
+                 "codebook": ae_vars["codebook"]}
+
+    def encdec(v, x):
+        codes = ae.apply(v, x, method=VQVAE.encode)
+        return jnp.sum(ae.apply(v, codes, method=VQVAE.decode))
+
+    fn = jax.jit(encdec)
+    float(fn(variables, x))
+    times = []
+    for _ in range(10):
+        t0 = time.perf_counter()
+        float(fn(variables, x))
+        times.append(time.perf_counter() - t0)
+    dt = float(np.median(times))
+    frames_per_sec = BATCH * SEQ_LEN / dt
+    return {"metric": "VQ-VAE enc/dec frames/sec (16f 64px)",
+            "value": round(frames_per_sec, 1), "unit": "frames/sec/chip",
+            "vs_baseline": 0.0}
+
+
+def bench_train_step() -> dict:
+    import jax
+    from gif_synthesis_with_discrete_diffusion_tpu.data.synthetic import (
+        SyntheticVideoDataModule)
+    from gif_synthesis_with_discrete_diffusion_tpu.train.loop import (
+        _device_batch)
+    from gif_synthesis_with_discrete_diffusion_tpu.train.stage1 import (
+        Stage1Trainer)
+    import tempfile
+
+    bs = 64
+    cfg = {"seed": 0, "trainer": {"max_epochs": 1, "mesh": {}},
+           "model": {"generator": {"embedding_dim": 128, "n_codes": 4096,
+                                   "n_hiddens": 256, "n_res_layers": 3,
+                                   "downsample": [1, 8, 8],
+                                   "sequence_length": 4, "resolution": 64},
+                     "losses": {"loss_dict": {"l_dummy": 1.0}},
+                     "lr_args": {"gen_lr": 4e-4}}}
+    dm = SyntheticVideoDataModule(batch_size=bs, sequence_length=4,
+                                  resolution=64, num_train=bs, num_val=bs)
+    with tempfile.TemporaryDirectory() as rd:
+        tr = Stage1Trainer(cfg, dm, rd)
+        batch = next(iter(dm.train_batches(0)))
+        tr.build(batch)
+        db = _device_batch(batch, tr.mesh)
+        state, values = tr.train_step(tr.state, db, jax.random.key(0))
+        float(values["total"])
+        times = []
+        for i in range(10):
+            t0 = time.perf_counter()
+            state, values = tr.train_step(state, db, jax.random.key(i))
+            float(values["total"])
+            times.append(time.perf_counter() - t0)
+        dt = float(np.median(times))
+    return {"metric": "VQ-VAE train steps/sec (batch 64, EMA codebook)",
+            "value": round(1.0 / dt, 3), "unit": "steps/sec/chip",
+            "vs_baseline": 0.0}
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--metric", default="sampling",
+                        choices=["sampling", "vqvae", "train_step"])
+    args = parser.parse_args()
+    fn = {"sampling": bench_sampling, "vqvae": bench_vqvae,
+          "train_step": bench_train_step}[args.metric]
+    print(json.dumps(fn()))
+
+
+if __name__ == "__main__":
+    main()

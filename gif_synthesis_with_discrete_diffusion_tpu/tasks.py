@@ -1,0 +1,121 @@
+"""Task layer: config -> datamodule/trainer -> fit/test.
+
+Equivalent of the reference's task orchestration (reference
+src/tasks/train_task.py:14-82, src/tasks/eval_task.py:13-62): seed, build
+everything from the composed config, run, return metrics. Run directories
+are timestamped like the reference's hydra run dirs
+(configs/hydra/default.yaml:8-12), and the composed config is saved to
+``config_tree.log`` (the rich-print analogue, utils/rich_utils.py:21-103).
+"""
+from __future__ import annotations
+
+import datetime
+import random
+from pathlib import Path
+from typing import Any, Mapping
+
+import numpy as np
+
+from .utils.config import to_yaml
+from .utils.logging import get_logger
+
+log = get_logger(__name__)
+
+__all__ = ["train", "evaluate", "build_datamodule", "build_trainer",
+           "make_run_dir"]
+
+
+def build_datamodule(cfg: Mapping[str, Any]):
+    d = dict(cfg.get("datamodule", {}))
+    name = d.get("dataname", "synthetic")
+    if name == "synthetic":
+        from .data.synthetic import SyntheticVideoDataModule
+        return SyntheticVideoDataModule(
+            batch_size=int(d.get("batch_size", 4)),
+            sequence_length=int(d.get("sequence_length", 4)),
+            resolution=int(d.get("resolution", 64)),
+            num_train=int(d.get("num_train", 64)),
+            num_val=int(d.get("num_val", 16)),
+            num_test=int(d.get("num_test", 16)),
+            seed=int(cfg.get("seed") or 0))
+    if name == "ucf101":
+        from .data.video_dataset import UCF101DataModule
+        return UCF101DataModule(**{**d, "batch_size":
+                                   int(d.get("batch_size", 32))})
+    if name == "msrvtt":
+        from .data.video_dataset import MSRVTTDataModule
+        return MSRVTTDataModule(**{**d, "batch_size":
+                                   int(d.get("batch_size", 32))})
+    raise ValueError(f"unknown datamodule {name!r}")
+
+
+def _build_fvd_evaluator(cfg: Mapping[str, Any]):
+    from .eval.evaluator import FVDEvaluator
+    i3d_params = None
+    eval_ckpt = cfg.get("eval_ckpt")
+    if eval_ckpt and Path(str(eval_ckpt)).exists():
+        from .convert.torch_i3d import convert_i3d_file
+        i3d_params = convert_i3d_file(str(eval_ckpt))
+        log.info("loaded pretrained I3D from %s", eval_ckpt)
+    return FVDEvaluator(i3d_params=i3d_params)
+
+
+def build_trainer(cfg: Mapping[str, Any], datamodule, run_dir):
+    stage = int(cfg.get("model", {}).get("stage", 1))
+    if stage == 1:
+        from .train.stage1 import Stage1Trainer
+        trainer = Stage1Trainer(cfg, datamodule, run_dir)
+    else:
+        from .train.stage2 import Stage2Trainer
+        trainer = Stage2Trainer(cfg, datamodule, run_dir)
+        if cfg.get("model", {}).get("do_evaluation", False):
+            trainer.evaluator = _build_fvd_evaluator(cfg)
+    return trainer
+
+
+def make_run_dir(cfg: Mapping[str, Any]) -> Path:
+    base = cfg.get("paths", {}).get("output_dir", "logs/runs")
+    stamp = datetime.datetime.now().strftime("%Y-%m-%d_%H-%M-%S")
+    run_dir = Path(base) / stamp
+    run_dir.mkdir(parents=True, exist_ok=True)
+    return run_dir
+
+
+def _setup(cfg: Mapping[str, Any]):
+    seed = cfg.get("seed")
+    if seed is not None:
+        random.seed(int(seed))
+        np.random.seed(int(seed))
+    if cfg.get("debug_nans"):
+        import jax
+        jax.config.update("jax_debug_nans", True)
+    run_dir = make_run_dir(cfg)
+    (run_dir / "config_tree.log").write_text(to_yaml(cfg))
+    if cfg.get("extras", {}).get("print_config", False):
+        log.info("config:\n%s", to_yaml(cfg))
+    return run_dir
+
+
+def train(cfg: Mapping[str, Any]) -> dict[str, float]:
+    run_dir = _setup(cfg)
+    dm = build_datamodule(cfg)
+    trainer = build_trainer(cfg, dm, run_dir)
+    metrics: dict[str, float] = {}
+    if cfg.get("train", True):
+        metrics = trainer.fit(resume=bool(cfg.get("resume"))
+                              or bool(cfg.get("ckpt_path")))
+    if cfg.get("test", False):
+        metrics.update(trainer.test())
+    log.info("run dir: %s", run_dir)
+    return metrics
+
+
+def evaluate(cfg: Mapping[str, Any]) -> dict[str, float]:
+    run_dir = _setup(cfg)
+    dm = build_datamodule(cfg)
+    trainer = build_trainer(cfg, dm, run_dir)
+    if cfg.get("ckpt_path"):
+        trainer.ckpt = type(trainer.ckpt)(
+            Path(str(cfg["ckpt_path"])), monitor=trainer.ckpt.monitor,
+            mode=trainer.ckpt.mode)
+    return trainer.test()

@@ -22,7 +22,7 @@ from typing import Any, Iterator, Mapping
 import jax
 import numpy as np
 
-from ..parallel.mesh import create_mesh, replicate, shard_batch
+from ..parallel.mesh import create_mesh, shard_batch, shard_state
 from ..train.metrics import MetricAccumulator, loss_log_name
 from ..utils.checkpoint import CheckpointManager
 from ..utils.logging import MetricLogger, build_metric_loggers, get_logger
@@ -116,9 +116,9 @@ class Trainer:
     def fit(self, resume: bool = False) -> dict[str, float]:
         example = next(iter(self.datamodule.train_batches(0)))
         self.build(example)
-        # replicate model/optimizer state over the mesh (data-parallel);
-        # model-axis sharded params get their shardings in the state builder
-        self.state = replicate(self.state, self.mesh)
+        # place state on the mesh: data-parallel replication plus
+        # tensor-parallel sharding of the large tables over the `model` axis
+        self.state = shard_state(self.state, self.mesh)
         if resume and self.ckpt.latest_step() is not None:
             self.state = self.ckpt.restore(self.state)
             self.global_step = int(jax.device_get(self.state.step))
@@ -163,7 +163,7 @@ class Trainer:
         if self.state is None:
             example = next(iter(self.datamodule.test_batches(0)))
             self.build(example)
-            self.state = replicate(self.state, self.mesh)
+            self.state = shard_state(self.state, self.mesh)
             if self.ckpt.latest_step() is not None:
                 self.state = self.ckpt.restore(self.state)
         metrics = self._run_epoch("test", self.current_epoch)
