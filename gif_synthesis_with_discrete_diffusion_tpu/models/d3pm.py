@@ -474,6 +474,125 @@ def sample_fast(rng: jax.Array, sched: D3PMSchedule, denoise_fn: DenoiseFn,
 
 
 # ---------------------------------------------------------------------------
+# fused fast path: token-space scan with analytic posterior
+# ---------------------------------------------------------------------------
+#
+# The reference (and `sample` above) carries a (B, K, L) log-onehot through
+# the reverse loop and re-derives q_pred/q_posterior from it — ~15 passes
+# over K-sized arrays per step. But the carried state is ALWAYS a one-hot,
+# so q_pred(onehot) collapses to closed form in the token index. The fused
+# sampler carries only the (B, L) token grid and evaluates the exact same
+# posterior analytically from the denoiser logits in one elementwise chain
+# + two reductions. Identical distribution (same Gumbel draw shapes/keys ->
+# bit-identical tokens up to the 1e-30 one-hot floor).
+
+
+def _analytic_posterior(sched: D3PMSchedule, log_x_recon: jax.Array,
+                        tokens: jax.Array, t_scalar: jax.Array) -> jax.Array:
+    """Exact q_posterior for a one-hot x_t given log p(x0|xt).
+
+    log_x_recon: (B, K-1, L) guided log-probs; tokens: (B, L) current x_t.
+    Returns (B, K, L) clamped posterior log-probs.
+    """
+    K = sched.num_classes
+    b, _, L = log_x_recon.shape
+    T = sched.num_timesteps
+    tp = (t_scalar + (T + 1)) % (T + 1)
+    tm = (t_scalar - 1 + (T + 1)) % (T + 1)
+
+    log_ct_at = sched.log_cumprod_at[tp]
+    log_ct_bt = sched.log_cumprod_bt[tp]
+    log_ct_ct = sched.log_cumprod_ct[tp]
+    log_at, log_bt, log_ct = (sched.log_at[t_scalar], sched.log_bt[t_scalar],
+                              sched.log_ct[t_scalar])
+    log_ct_at_p = sched.log_cumprod_at[tm]   # t-1 (wraps to identity at t=0)
+    log_ct_bt_p = sched.log_cumprod_bt[tm]
+    log_ct_ct_p = sched.log_cumprod_ct[tm]
+    log_1m_ct_ct_p = sched.log_1_min_cumprod_ct[tm]
+
+    mask = (tokens == K - 1)[:, None, :]                      # (B, 1, L)
+    cls = jax.lax.broadcasted_iota(jnp.int32, (1, K - 1, 1), 1)
+    is_v = cls == tokens[:, None, :]                           # (B, K-1, L)
+
+    # log q(x_t | x_0=j) at the observed x_t  (q_pred of the one-hot)
+    log_qt = jnp.where(
+        mask, log_ct_ct,
+        jnp.where(is_v, jnp.logaddexp(log_ct_at, log_ct_bt), log_ct_bt))
+    # log q(x_t | x_{t-1}=j)   (q_pred_one_timestep of the one-hot)
+    log_qt1 = jnp.where(
+        mask, log_ct,
+        jnp.where(is_v, jnp.logaddexp(log_at, log_bt), log_bt))
+    log_qt1_mask_row = jnp.where(mask[:, 0, :], 0.0, jnp.log(1.0e-30))
+
+    q = log_x_recon - log_qt                                   # (B, K-1, L)
+    q_mask_row = jnp.full((b, 1, L), jnp.log(1.0e-30), q.dtype)
+    lse = jax.nn.logsumexp(jnp.concatenate([q, q_mask_row], axis=1),
+                           axis=1, keepdims=True)              # (B, 1, L)
+    qn = q - lse
+    post = jnp.logaddexp(qn + log_ct_at_p, log_ct_bt_p) + log_qt1 + lse
+    post_mask = (jnp.logaddexp(q_mask_row - lse + log_1m_ct_ct_p,
+                               log_ct_ct_p)
+                 + log_qt1_mask_row[:, None, :] + lse)
+    post = jnp.concatenate([post, post_mask], axis=1)          # (B, K, L)
+    return jnp.clip(post, LOG_CLAMP, 0.0)
+
+
+def _guided_log_x_recon(logits2: jax.Array, guidance_scale: float,
+                        batch_size: int) -> jax.Array:
+    """CFG combine from the batched-2B denoiser logits -> (B, K-1, L)."""
+    log_pred = jax.nn.log_softmax(logits2.astype(jnp.float32), axis=1)
+    log_pred = jnp.clip(log_pred, LOG_CLAMP, 0.0)
+    if logits2.shape[0] == batch_size:       # guidance ~ 1: single branch
+        return log_pred
+    c, cf = log_pred[:batch_size], log_pred[batch_size:]
+    log_new = cf + guidance_scale * (c - cf)
+    log_new = log_new - jax.nn.logsumexp(log_new, axis=1, keepdims=True)
+    return jnp.clip(log_new, LOG_CLAMP, 0.0)
+
+
+def sample_fused(rng: jax.Array, sched: D3PMSchedule, denoise_fn: DenoiseFn,
+                 cond_emb: Any, cf_cond_emb: Any, batch_size: int,
+                 seq_len: int, guidance_scale: float = 2.0) -> jax.Array:
+    """Token-space reverse process; same math as `sample`, ~4x less HBM
+    traffic per step. Returns (B, L) token indices."""
+    K = sched.num_classes
+    T = sched.num_timesteps
+    tokens0 = jnp.full((batch_size, seq_len), K - 1, jnp.int32)  # all MASK
+
+    use_cfg = abs(guidance_scale - 1.0) >= 1e-3
+    if use_cfg:
+        cond2 = jax.tree.map(
+            lambda c, cf: jnp.concatenate(
+                [c, jnp.broadcast_to(cf.astype(c.dtype), c.shape)], axis=0),
+            cond_emb, cf_cond_emb)
+    else:
+        cond2 = cond_emb
+
+    def step(carry, t_scalar):
+        tokens, rng = carry
+        rng, s_rng = jax.random.split(rng)
+        if use_cfg:
+            x2 = jnp.concatenate([tokens, tokens], axis=0)
+            t2 = jnp.full((2 * batch_size,), t_scalar, jnp.int32)
+        else:
+            x2 = tokens
+            t2 = jnp.full((batch_size,), t_scalar, jnp.int32)
+        logits2 = denoise_fn(x2, cond2, t2)
+        log_x_recon = _guided_log_x_recon(logits2, guidance_scale,
+                                          batch_size)
+        post = _analytic_posterior(sched, log_x_recon, tokens, t_scalar)
+        uniform = jax.random.uniform(s_rng, post.shape, jnp.float32)
+        gumbel = -jnp.log(-jnp.log(uniform + 1e-30) + 1e-30)
+        tokens = jnp.argmax(gumbel + post, axis=1).astype(jnp.int32)
+        return (tokens, rng), None
+
+    (tokens, _), _ = jax.lax.scan(
+        step, (tokens0, rng),
+        jnp.arange(T - 1, -1, -1, dtype=jnp.int32))
+    return tokens
+
+
+# ---------------------------------------------------------------------------
 # fidelity mode: Improved-VQ-Diffusion token-budget sampling (host loop)
 # ---------------------------------------------------------------------------
 

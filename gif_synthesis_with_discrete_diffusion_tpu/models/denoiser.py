@@ -23,6 +23,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from ..ops.attention import fused_mha
 from .embeddings import TokenGridEmbedding
 
 __all__ = ["DenoiserTransformer", "Block", "AdaLayerNorm", "SinusoidalPosEmb",
@@ -82,16 +83,26 @@ class SelfAttention(nn.Module):
     resid_pdrop: float = 0.0
 
     @nn.compact
-    def __call__(self, x: jax.Array, *, deterministic: bool) -> jax.Array:
+    def __call__(self, x: jax.Array, *, deterministic: bool,
+                 fused: bool = False) -> jax.Array:
         B, T, C = x.shape
         hs = C // self.n_head
-        k = _dense(C, "key")(x).reshape(B, T, self.n_head, hs)
-        q = _dense(C, "query")(x).reshape(B, T, self.n_head, hs)
-        v = _dense(C, "value")(x).reshape(B, T, self.n_head, hs)
-        att = jnp.einsum("bqhd,bkhd->bhqk", q, k) / math.sqrt(hs)
-        att = jax.nn.softmax(att.astype(jnp.float32), axis=-1).astype(x.dtype)
-        att = nn.Dropout(self.attn_pdrop)(att, deterministic=deterministic)
-        y = jnp.einsum("bhqk,bkhd->bqhd", att, v).reshape(B, T, C)
+        k = _dense(C, "key")(x)
+        q = _dense(C, "query")(x)
+        v = _dense(C, "value")(x)
+        if fused and (deterministic or self.attn_pdrop == 0.0):
+            # VMEM-resident Pallas attention (no (B,H,L,L) HBM tensors)
+            y = fused_mha(q, k, v, n_head=self.n_head)
+        else:
+            kh = k.reshape(B, T, self.n_head, hs)
+            qh = q.reshape(B, T, self.n_head, hs)
+            vh = v.reshape(B, T, self.n_head, hs)
+            att = jnp.einsum("bqhd,bkhd->bhqk", qh, kh) / math.sqrt(hs)
+            att = jax.nn.softmax(att.astype(jnp.float32),
+                                 axis=-1).astype(x.dtype)
+            att = nn.Dropout(self.attn_pdrop)(att,
+                                              deterministic=deterministic)
+            y = jnp.einsum("bhqk,bkhd->bqhd", att, vh).reshape(B, T, C)
         y = _dense(C, "proj")(y)
         return nn.Dropout(self.resid_pdrop)(y, deterministic=deterministic)
 
@@ -106,17 +117,25 @@ class CrossAttention(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array, cond: jax.Array, *,
-                 deterministic: bool) -> jax.Array:
+                 deterministic: bool, fused: bool = False) -> jax.Array:
         B, T, C = x.shape
         S = cond.shape[1]
         hs = C // self.n_head
-        k = _dense(C, "key")(cond).reshape(B, S, self.n_head, hs)
-        v = _dense(C, "value")(cond).reshape(B, S, self.n_head, hs)
-        q = _dense(C, "query")(x).reshape(B, T, self.n_head, hs)
-        att = jnp.einsum("bqhd,bkhd->bhqk", q, k) / math.sqrt(hs)
-        att = jax.nn.softmax(att.astype(jnp.float32), axis=-1).astype(x.dtype)
-        att = nn.Dropout(self.attn_pdrop)(att, deterministic=deterministic)
-        y = jnp.einsum("bhqk,bkhd->bqhd", att, v).reshape(B, T, C)
+        k = _dense(C, "key")(cond)
+        v = _dense(C, "value")(cond)
+        q = _dense(C, "query")(x)
+        if fused and (deterministic or self.attn_pdrop == 0.0):
+            y = fused_mha(q, k, v, n_head=self.n_head)
+        else:
+            kh = k.reshape(B, S, self.n_head, hs)
+            vh = v.reshape(B, S, self.n_head, hs)
+            qh = q.reshape(B, T, self.n_head, hs)
+            att = jnp.einsum("bqhd,bkhd->bhqk", qh, kh) / math.sqrt(hs)
+            att = jax.nn.softmax(att.astype(jnp.float32),
+                                 axis=-1).astype(x.dtype)
+            att = nn.Dropout(self.attn_pdrop)(att,
+                                              deterministic=deterministic)
+            y = jnp.einsum("bhqk,bkhd->bqhd", att, vh).reshape(B, T, C)
         y = _dense(C, "proj")(y)
         return nn.Dropout(self.resid_pdrop)(y, deterministic=deterministic)
 
@@ -133,16 +152,16 @@ class Block(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array, cond: jax.Array, timestep: jax.Array,
-                 *, deterministic: bool) -> jax.Array:
+                 *, deterministic: bool, fused: bool = False) -> jax.Array:
         a = SelfAttention(self.n_embd, self.n_head, self.attn_pdrop,
                           self.resid_pdrop, name="attn1")(
             AdaLayerNorm(self.n_embd, self.diffusion_step, name="ln1")(
-                x, timestep), deterministic=deterministic)
+                x, timestep), deterministic=deterministic, fused=fused)
         x = x + a
         a = CrossAttention(self.n_embd, self.n_head, self.attn_pdrop,
                            self.resid_pdrop, name="attn2")(
             AdaLayerNorm(self.n_embd, self.diffusion_step, name="ln1_1")(
-                x, timestep), cond, deterministic=deterministic)
+                x, timestep), cond, deterministic=deterministic, fused=fused)
         x = x + a
         act = gelu2 if self.activate == "GELU2" else jax.nn.gelu
         h = nn.LayerNorm(name="ln2")(x)
@@ -181,7 +200,12 @@ class DenoiserTransformer(nn.Module):
 
     @nn.compact
     def __call__(self, tokens: jax.Array, cond: Optional[jax.Array],
-                 t: jax.Array, *, deterministic: bool = True) -> jax.Array:
+                 t: jax.Array, *, deterministic: bool = True,
+                 fused_attention: bool | None = None) -> jax.Array:
+        if fused_attention is None:
+            # fused Pallas attention on TPU no-grad paths (no VJP defined)
+            fused_attention = (deterministic and
+                               jax.default_backend() in ("tpu", "axon"))
         emb = TokenGridEmbedding(self.num_embed, self.spatial_size,
                                  self.n_embd, name="content_emb")(tokens)
         if cond is None:
@@ -196,7 +220,8 @@ class DenoiserTransformer(nn.Module):
                             self.mlp_hidden_times, self.attn_pdrop,
                             self.resid_pdrop, self.block_activate,
                             name=f"block{i}")(
-                emb, cond, t, deterministic=deterministic)
+                emb, cond, t, deterministic=deterministic,
+                fused=fused_attention)
         h = nn.LayerNorm(name="ln_out")(emb)
         logits = _dense(self.num_embed, "to_logits")(h)  # out_cls = K-1
         return jnp.swapaxes(logits, 1, 2)  # (B, K-1, L)

@@ -113,8 +113,26 @@ class D3PM(nn.Module):
     def sample(self, cond_emb: Optional[jax.Array],
                cf_cond_emb: Optional[jax.Array], batch_size: int,
                *, filter_ratio: float = 0.0,
-               content_token: jax.Array | None = None) -> jax.Array:
+               content_token: jax.Array | None = None,
+               mode: str = "auto") -> jax.Array:
+        """mode: 'auto' | 'pallas' (fused TPU kernel per step) | 'fused'
+        (token-space jnp) | 'reference' (log-onehot carry, dt.py:568-644)."""
         rng = self.make_rng("diffusion")
+        if mode == "auto":
+            mode = ("pallas" if jax.default_backend() in ("tpu", "axon")
+                    and filter_ratio == 0.0 else
+                    "fused" if filter_ratio == 0.0 else "reference")
+        if mode == "pallas":
+            from ..ops.sampler_kernel import sample_tokens
+            return sample_tokens(
+                rng, self.schedule, self._denoise_fn(True), cond_emb,
+                cf_cond_emb, batch_size, self.content_seq_len,
+                guidance_scale=self.guidance_scale)
+        if mode == "fused":
+            return d3pm.sample_fused(
+                rng, self.schedule, self._denoise_fn(True), cond_emb,
+                cf_cond_emb, batch_size, self.content_seq_len,
+                guidance_scale=self.guidance_scale)
         return d3pm.sample(
             rng, self.schedule, self._denoise_fn(True), cond_emb,
             cf_cond_emb, batch_size, self.content_seq_len,

@@ -90,14 +90,45 @@ def _setup(cfg: Mapping[str, Any]):
         import jax
         jax.config.update("jax_debug_nans", True)
     run_dir = make_run_dir(cfg)
+    if cfg.get("profiler"):
+        # debug=profiler preset: jax trace viewable in TensorBoard/Perfetto
+        # (the reference enables Lightning's profiler, configs/debug/profiler)
+        import jax
+        jax.profiler.start_trace(str(run_dir / "jax_trace"))
+        import atexit
+        atexit.register(jax.profiler.stop_trace)
     (run_dir / "config_tree.log").write_text(to_yaml(cfg))
     if cfg.get("extras", {}).get("print_config", False):
         log.info("config:\n%s", to_yaml(cfg))
     return run_dir
 
 
-def train(cfg: Mapping[str, Any]) -> dict[str, float]:
-    run_dir = _setup(cfg)
+def task_wrapper(task_fn):
+    """Exception-safe task execution: logs the exception to the run dir,
+    records wall-clock to ``exec_time.log``, and closes loggers so multiruns
+    survive a failed trial (reference src/utils/utils.py:18-53)."""
+    import functools
+    import time
+    import traceback
+
+    @functools.wraps(task_fn)
+    def wrap(cfg, run_dir, *args, **kwargs):
+        t0 = time.time()
+        try:
+            return task_fn(cfg, run_dir, *args, **kwargs)
+        except Exception:
+            (Path(run_dir) / "exception.log").write_text(
+                traceback.format_exc())
+            raise
+        finally:
+            (Path(run_dir) / "exec_time.log").write_text(
+                f"'{cfg.get('task_name', 'task')}' execution time: "
+                f"{time.time() - t0:.2f} (s)\n")
+    return wrap
+
+
+@task_wrapper
+def _train_impl(cfg, run_dir) -> dict[str, float]:
     dm = build_datamodule(cfg)
     trainer = build_trainer(cfg, dm, run_dir)
     metrics: dict[str, float] = {}
@@ -106,6 +137,12 @@ def train(cfg: Mapping[str, Any]) -> dict[str, float]:
                               or bool(cfg.get("ckpt_path")))
     if cfg.get("test", False):
         metrics.update(trainer.test())
+    return metrics
+
+
+def train(cfg: Mapping[str, Any]) -> dict[str, float]:
+    run_dir = _setup(cfg)
+    metrics = _train_impl(cfg, run_dir)
     log.info("run dir: %s", run_dir)
     return metrics
 

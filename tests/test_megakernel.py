@@ -1,0 +1,110 @@
+"""Megakernel (fused denoiser+sampler step) vs flax denoiser + jnp posterior.
+
+Gumbel noise differs (TPU core PRNG vs threefry) so token-level equality is
+checked with sampling replaced by argmax; the full loop is checked for
+validity (shape/range/no-mask-left).
+"""
+import functools
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from gif_synthesis_with_discrete_diffusion_tpu.models import d3pm
+from gif_synthesis_with_discrete_diffusion_tpu.models.d3pm import (
+    _analytic_posterior, _guided_log_x_recon)
+from gif_synthesis_with_discrete_diffusion_tpu.models.denoiser import (
+    DenoiserTransformer)
+from gif_synthesis_with_discrete_diffusion_tpu.ops import megakernel as mk
+from gif_synthesis_with_discrete_diffusion_tpu.ops.sampler_kernel import (
+    schedule_rows)
+
+T, K_CODES, L, B = 6, 24, 16, 2    # num_classes = K_CODES + 1
+N_LAYER, N_EMBD, N_HEAD, COND_DIM = 2, 32, 4, 16
+SPATIAL = (4, 4)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    sched = d3pm.make_schedule(T, K_CODES + 1)
+    model = DenoiserTransformer(
+        num_embed=K_CODES, spatial_size=SPATIAL, n_layer=N_LAYER,
+        n_embd=N_EMBD, n_head=N_HEAD, content_seq_len=L,
+        condition_dim=COND_DIM, diffusion_step=T)
+    tokens = jnp.zeros((B, L), jnp.int32)
+    cond = jnp.zeros((B, 1, COND_DIM))
+    variables = model.init(jax.random.key(0), tokens, cond, jnp.zeros(
+        (B,), jnp.int32))
+    return sched, model, variables["params"]
+
+
+@pytest.mark.parametrize("t_scalar", [0, 2, T - 1])
+def test_megakernel_step_argmax_matches_flax(setup, t_scalar):
+    sched, model, params = setup
+    rng = np.random.default_rng(1)
+    tokens = jnp.asarray(rng.integers(0, K_CODES + 1, (B, L)), jnp.int32)
+    cond = jnp.asarray(rng.standard_normal((B, 3, COND_DIM)), jnp.float32)
+    cf_cond = jnp.zeros((B, 3, COND_DIM))
+    guidance = 2.0
+
+    # --- flax path -> posterior argmax ---
+    def denoise(x, c, t):
+        return model.apply({"params": params}, x, c, t,
+                           fused_attention=False)
+
+    x2 = jnp.concatenate([tokens, tokens], axis=0)
+    c2 = jnp.concatenate([cond, jnp.broadcast_to(cf_cond, cond.shape)],
+                         axis=0)
+    t2 = jnp.full((2 * B,), t_scalar, jnp.int32)
+    logits2 = denoise(x2, c2, t2)
+    r = _guided_log_x_recon(logits2, guidance, B)
+    want_post = _analytic_posterior(sched, r, tokens, jnp.asarray(t_scalar))
+    want = jnp.argmax(want_post, axis=1)
+
+    # --- megakernel path, sample_mode=False -> posterior argmax must match
+    packed = mk.pack_denoiser_params(params, N_LAYER,
+                                     weights_dtype=jnp.float32)
+    pos = (packed["height"][:, None, :] + packed["width"][None, :, :]
+           ).reshape(SPATIAL[0] * SPATIAL[1], N_EMBD)[:L]
+    kc_c = jnp.einsum("bsd,lde->blse", cond, packed["wk_c"]) \
+        + packed["bk_c"][None, :, None, :]
+    vc_c = jnp.einsum("bsd,lde->blse", cond, packed["wv_c"]) \
+        + packed["bv_c"][None, :, None, :]
+    cfb = jnp.broadcast_to(cf_cond, cond.shape)
+    kc_u = jnp.einsum("bsd,lde->blse", cfb, packed["wk_c"]) \
+        + packed["bk_c"][None, :, None, :]
+    vc_u = jnp.einsum("bsd,lde->blse", cfb, packed["wv_c"]) \
+        + packed["bv_c"][None, :, None, :]
+    kc = jnp.stack([kc_c, kc_u], axis=1)
+    vc = jnp.stack([vc_c, vc_u], axis=1)
+    sp = 8
+    kc = jnp.pad(kc, [(0, 0), (0, 0), (0, 0), (0, sp - 3), (0, 0)])
+    vc = jnp.pad(vc, [(0, 0), (0, 0), (0, 0), (0, sp - 3), (0, 0)])
+    adaln = mk._adaln_table(packed, jnp.asarray(t_scalar), T, N_EMBD)
+    rows = schedule_rows(sched)
+
+    got = mk._megakernel_step(
+        packed, tokens, adaln, kc, vc, pos, rows[t_scalar], jnp.int32(0),
+        n_layer=N_LAYER, n_head=N_HEAD, n_embd=N_EMBD,
+        num_classes=K_CODES + 1, guidance=guidance, use_cfg=True,
+        s_valid=3, sample_mode=False, interpret=True)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want),
+                                  err_msg=f"t={t_scalar}")
+
+
+def test_megakernel_full_loop_valid(setup):
+    sched, model, params = setup
+    rng = np.random.default_rng(2)
+    cond = jnp.asarray(rng.standard_normal((B, 1, COND_DIM)), jnp.float32)
+    cf = jnp.zeros((B, 1, COND_DIM))
+    tokens = mk.megakernel_sample_tokens(
+        jax.random.key(0), sched, params, cond, cf, B, L,
+        spatial_size=SPATIAL, n_layer=N_LAYER, n_head=N_HEAD,
+        n_embd=N_EMBD, diffusion_step=T, guidance_scale=2.0,
+        weights_dtype=jnp.float32, sample_mode=False, interpret=True)
+    arr = np.asarray(tokens)
+    assert arr.shape == (B, L)
+    assert arr.min() >= 0 and arr.max() <= K_CODES
+    assert (arr != K_CODES).all()  # no MASK left after the full loop
