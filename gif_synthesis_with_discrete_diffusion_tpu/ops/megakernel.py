@@ -172,48 +172,66 @@ def _kernel(sched_ref, seed_ref, tokens_ref, adaln_ref, kc_ref, vc_ref,
     x = _mm(onehot, emb_ref[...]) + pos_ref[...]             # (L, C) f32
 
     scale = 1.0 / math.sqrt(d)
-    kv_col = jax.lax.broadcasted_iota(jnp.int32, (L, sp), 1)
-    kv_mask = kv_col < s_valid
+
+    # Head-stacked attention: tiny head dims (d=4) make per-head matmuls
+    # ~3% MXU-efficient (K=4 contractions). Instead tile K^T/V H times and
+    # mask to block structure so ALL heads ride ONE full-depth matmul pair:
+    #   scores[:, h*Lk+j] = q @ Kstack  with Kstack[c, h*Lk+j] =
+    #       k[j, c] * [c // d == h]
+    #   out = probs_cat @ Vstack        with Vstack[h*Lk+j, c] likewise.
+    def stacked_attention(q, k, v, lk, valid_mask):
+        # block mask over (H*lk, C): row h*lk+j belongs to head h; column c
+        # to head c // d. No transposes (Mosaic can't legalize them here).
+        row_h = jax.lax.broadcasted_iota(
+            jnp.int32, (n_head * lk, n_embd), 0) // lk
+        col_h = jax.lax.broadcasted_iota(
+            jnp.int32, (n_head * lk, n_embd), 1) // d
+        block = row_h == col_h
+        # bf16 operands double MXU throughput; accumulation stays f32
+        kstack = jnp.where(
+            block, jnp.concatenate([k] * n_head, axis=0),
+            0.0).astype(jnp.bfloat16)
+        vstack = jnp.where(
+            block, jnp.concatenate([v] * n_head, axis=0),
+            0.0).astype(jnp.bfloat16)
+        scores = jax.lax.dot_general(
+            q.astype(jnp.bfloat16), kstack,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale      # (L, H*lk)
+        # per-head softmax via static block slices (Mosaic rejects the
+        # (L, H, lk) minor-dim-splitting reshape); matmuls stay stacked
+        blocks = []
+        for h in range(n_head):
+            blk = scores[:, h * lk:(h + 1) * lk]
+            if valid_mask is not None:
+                blk = jnp.where(valid_mask[None, :], blk, -jnp.inf)
+            m = jnp.max(blk, axis=1, keepdims=True)
+            pb = jnp.exp(blk - m)
+            blocks.append(pb / jnp.sum(pb, axis=1, keepdims=True))
+        p_cat = jnp.concatenate(blocks, axis=1)              # (L, H*lk)
+        return jax.lax.dot_general(
+            p_cat.astype(jnp.bfloat16), vstack,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)              # (L, C)
+
+    kv_valid_1d = (jax.lax.broadcasted_iota(jnp.int32, (1, sp), 1)
+                   < s_valid)[0]
 
     def layer(i, x):
         ada = adaln_ref[i]                                    # (2, 2C)
         # --- self-attention ---
         h = _ln(x) * (1.0 + ada[0, :n_embd]) + ada[0, n_embd:]
         qkv = _mm(h, wqkv_ref[i]) + bqkv_ref[i]               # (L, 3C)
-        heads = []
-        for hh in range(n_head):
-            q = qkv[:, hh * d:(hh + 1) * d]
-            k = qkv[:, n_embd + hh * d:n_embd + (hh + 1) * d]
-            v = qkv[:, 2 * n_embd + hh * d:2 * n_embd + (hh + 1) * d]
-            s = jax.lax.dot_general(
-                q, k, dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32) * scale   # (L, L)
-            m = jnp.max(s, axis=1, keepdims=True)
-            p = jnp.exp(s - m)
-            p = p / jnp.sum(p, axis=1, keepdims=True)
-            heads.append(_mm(p, v))
-        o = jnp.concatenate(heads, axis=1)
+        o = stacked_attention(qkv[:, :n_embd],
+                              qkv[:, n_embd:2 * n_embd],
+                              qkv[:, 2 * n_embd:], L, None)
         x = x + _mm(o, wproj_ref[i]) + bproj_ref[i]
 
         # --- cross-attention over the (precomputed) condition K/V ---
         h = _ln(x) * (1.0 + ada[1, :n_embd]) + ada[1, n_embd:]
         qc = _mm(h, wq_c_ref[i]) + bq_c_ref[i]                # (L, C)
-        kc = kc_ref[0, 0, i]                                  # (sp, C)
-        vc = vc_ref[0, 0, i]
-        heads = []
-        for hh in range(n_head):
-            q = qc[:, hh * d:(hh + 1) * d]
-            k = kc[:, hh * d:(hh + 1) * d]
-            v = vc[:, hh * d:(hh + 1) * d]
-            s = jax.lax.dot_general(
-                q, k, dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32) * scale   # (L, sp)
-            s = jnp.where(kv_mask, s, -jnp.inf)
-            m = jnp.max(s, axis=1, keepdims=True)
-            p = jnp.exp(s - m)
-            p = p / jnp.sum(p, axis=1, keepdims=True)
-            heads.append(_mm(p, v))
-        oc = jnp.concatenate(heads, axis=1)
+        oc = stacked_attention(qc, kc_ref[0, 0, i], vc_ref[0, 0, i], sp,
+                               kv_valid_1d)
         x = x + _mm(oc, wproj_c_ref[i]) + bproj_c_ref[i]
 
         # --- MLP ---
@@ -223,8 +241,10 @@ def _kernel(sched_ref, seed_ref, tokens_ref, adaln_ref, kc_ref, vc_ref,
         h = _mm(h, wpj_ref[i]) + bpj_ref[i]
         return x + h
 
-    for i in range(n_layer):  # static unroll (fori + dynamic ref idx is
-        x = layer(i, x)       # slower to compile in Mosaic than unroll here)
+    # fori_loop keeps the Mosaic program size independent of depth (a
+    # 19-layer static unroll took ~1h to compile); stacked weights are
+    # dynamically indexed per layer.
+    x = jax.lax.fori_loop(0, n_layer, layer, x)
 
     h = _ln(x) * lno_ref[0] + lno_ref[1]
     logits = _mm(h, wlog_ref[...]) + blog_ref[...]            # (L, kp)

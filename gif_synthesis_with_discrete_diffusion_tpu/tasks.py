@@ -65,6 +65,8 @@ def build_trainer(cfg: Mapping[str, Any], datamodule, run_dir):
     if stage == 1:
         from .train.stage1 import Stage1Trainer
         trainer = Stage1Trainer(cfg, datamodule, run_dir)
+        if cfg.get("model", {}).get("do_evaluation", False):
+            trainer.evaluator = _build_fvd_evaluator(cfg)
     else:
         from .train.stage2 import Stage2Trainer
         trainer = Stage2Trainer(cfg, datamodule, run_dir)

@@ -79,6 +79,9 @@ class Stage1Trainer(Trainer):
         self.model = make_vqvae(self.model_cfg)
         self.resolution = self.model.resolution
         self._names = [n for n in self.loss_dict] + ["total"]
+        self.evaluator = None  # optional FVD evaluator (reconstruction FVD,
+        # reference text_motion_model.py:98-100: eval outputs are pushed on
+        # val/test splits when do_evaluation is set)
 
     def loss_names(self):
         return self._names
@@ -103,6 +106,24 @@ class Stage1Trainer(Trainer):
 
     def eval_step(self, state, batch, rng):
         return self._jit_eval(state, batch, rng)
+
+    def sample_videos(self, batch, rng) -> jax.Array:
+        """Reconstructions (the stage-1 'generated' clips for FVD)."""
+        video = preprocess_clip(jnp.asarray(batch["video"]), self.resolution)
+        out = self.model.apply(
+            {"params": self.state.params,
+             "batch_stats": self.state.batch_stats,
+             "codebook": self.state.codebook},
+            {"video": video}, train=False)
+        return out["pred_data"]
+
+    def extra_eval_metrics(self, split: str, epoch: int) -> dict:
+        if self.evaluator is None:
+            return {}
+        every = int(self.cfg.get("trainer", {}).get("fvd_every_n_epochs", 5))
+        if split == "val" and epoch % every != 0:
+            return {}
+        return self.evaluator.evaluate(self, split, epoch)
 
     def render_samples(self, epoch: int) -> None:
         try:

@@ -146,10 +146,15 @@ class Stage2Trainer(Trainer):
             _eval_step, autoencoder=self.autoencoder,
             generator=self.generator, loss_dict=self.loss_dict,
             resolution=self.resolution))
+        sampler = str(self.cfg.get("trainer", {}).get("sampler", "auto"))
+        if sampler == "auto":
+            sampler = ("megakernel"
+                       if jax.default_backend() in ("tpu", "axon")
+                       else "model")
         self._jit_sample = jax.jit(functools.partial(
             _sample_step, autoencoder=self.autoencoder,
             generator=self.generator, resolution=self.resolution,
-            latent_shape=self.latent_shape))
+            latent_shape=self.latent_shape, sampler=sampler))
         n_params = sum(x.size for x in jax.tree.leaves(self.state.gen_params))
         log.info("D3PM generator params: %.2fM", n_params / 1e6)
 
@@ -265,12 +270,32 @@ def _eval_step(state: Stage2State, batch, rng, *, autoencoder, generator,
 
 
 def _sample_step(state: Stage2State, batch, rng, *, autoencoder, generator,
-                 resolution, latent_shape):
+                 resolution, latent_shape, sampler: str = "model"):
     b = batch["video"].shape[0]
-    tokens = generator.apply(
-        {"params": state.gen_params, "diffusion": state.diffusion},
-        batch, b, method=DiscreteDiffusionModel.sample,
-        rngs={"diffusion": rng})
+    if sampler == "megakernel":
+        # fully-fused Pallas sampling (ops/megakernel.py): conditioner runs
+        # under XLA, then the whole reverse step per t runs in one kernel
+        from ..models.d3pm import make_schedule
+        from ..ops.megakernel import megakernel_sample_tokens
+        dcfg = dict(generator.d3pm_cfg)
+        cond, cf_cond = generator.apply(
+            {"params": state.gen_params}, batch, b,
+            method=lambda m, batch, b: m.conditioner(batch, b))
+        sched = make_schedule(int(dcfg["diffusion_step"]),
+                              int(dcfg["num_embed"]) + 1)
+        tokens = megakernel_sample_tokens(
+            rng, sched, state.gen_params["diffusion"]["transformer"],
+            cond, cf_cond, b, int(dcfg["content_seq_len"]),
+            spatial_size=dcfg["spatial_size"],
+            n_layer=int(dcfg["n_layer"]), n_head=int(dcfg["n_head"]),
+            n_embd=int(dcfg["n_embd"]),
+            diffusion_step=int(dcfg["diffusion_step"]),
+            guidance_scale=float(dcfg["guidance_scale"]))
+    else:
+        tokens = generator.apply(
+            {"params": state.gen_params, "diffusion": state.diffusion},
+            batch, b, method=DiscreteDiffusionModel.sample,
+            rngs={"diffusion": rng})
     tokens = tokens.reshape(b, *latent_shape)
     return autoencoder.apply(
         {"params": state.ae_params, "batch_stats": state.ae_batch_stats,
