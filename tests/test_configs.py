@@ -1,0 +1,59 @@
+"""Config composition smoke tests (reference tests/test_configs.py:6-29)."""
+import pytest
+
+from gif_synthesis_with_discrete_diffusion_tpu.utils.config import (
+    ConfigError, compose)
+
+
+def test_train_config_composes():
+    cfg = compose("train", [])
+    assert cfg["model"]["stage"] == 1
+    assert cfg["model"]["generator"]["n_codes"] == 4096
+    assert cfg["datamodule"]["dataname"] == "ucf101"
+    # interpolation resolved
+    assert cfg["model"]["generator"]["sequence_length"] == \
+        cfg["datamodule"]["sequence_length"]
+    assert cfg["datamodule"]["batch_size"] == cfg["batch_size"]
+
+
+def test_eval_config_composes():
+    cfg = compose("eval", [])
+    assert cfg["task_name"] == "eval"
+    assert cfg["model"]["stage"] == 2
+
+
+def test_stage2_nested_groups():
+    cfg = compose("train", ["model=discrete_diffusion"])
+    gen = cfg["model"]["generator"]
+    # nested @-injection (reference discrete_diffusion.yaml defaults list)
+    assert gen["diffusion_model"]["transformer"]["n_layer"] == 19
+    assert gen["diffusion_model"]["transformer"]["dalle"]["spatial_size"] \
+        == [32, 32]
+    assert gen["textencoder"]["mode"] == "null"   # committed-ref parity
+
+
+def test_debug_preset_is_global():
+    cfg = compose("train", ["debug=fdr"])
+    assert cfg["trainer"]["max_steps"] == 1
+    assert cfg["model"]["do_evaluation"] is False
+
+
+def test_group_override_and_value_override():
+    cfg = compose("train", ["datamodule=synthetic", "batch_size=7",
+                            "trainer.max_epochs=3"])
+    assert cfg["datamodule"]["dataname"] == "synthetic"
+    assert cfg["datamodule"]["batch_size"] == 7
+    assert cfg["trainer"]["max_epochs"] == 3
+
+
+def test_bad_override_raises():
+    with pytest.raises(ConfigError):
+        compose("train", ["nonexistent.key=1"])
+    with pytest.raises(ConfigError):
+        compose("train", ["model=missing_model"])
+
+
+def test_add_and_delete_overrides():
+    cfg = compose("train", ["+custom.flag=true", "~ckpt_path"])
+    assert cfg["custom"]["flag"] is True
+    assert "ckpt_path" not in cfg
