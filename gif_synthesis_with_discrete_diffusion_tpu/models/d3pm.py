@@ -606,13 +606,20 @@ def sample_with_token_budget(rng: jax.Array, sched: D3PMSchedule,
     621-626). Python-side control flow (not jit-compiled end-to-end) — kept
     as an optional fidelity mode; the scan samplers above are the fast path.
     """
-    n_sample = default_n_sample(sched.num_timesteps, prior_ps)
+    # per-step budgets sum to ~the grid size over the whole reverse process
+    # (dt.py:166-179 are sized for 1024-token grids); rescale proportionally
+    # for other sequence lengths
+    table = default_n_sample(sched.num_timesteps, prior_ps)
+    scale = seq_len / float(sum(table))
+    n_sample = [max(1, round(n * scale)) for n in table]
     log_z = _mask_start_state(batch_size, sched.num_classes, seq_len)
     mask_id = sched.num_classes - 1
 
     for t_scalar in range(sched.num_timesteps - 1, -1, -1):
         sampled = np.zeros((batch_size,), np.int64)
-        while sampled.min() < n_sample[t_scalar]:
+        fuse = 4 * sched.num_timesteps  # hang guard (budget unreachable)
+        while sampled.min() < n_sample[t_scalar] and fuse > 0:
+            fuse -= 1
             rng, s_rng = jax.random.split(rng)
             t = jnp.full((batch_size,), t_scalar, jnp.int32)
             model_log_prob, log_x_recon = p_pred(

@@ -38,14 +38,13 @@ def build_datamodule(cfg: Mapping[str, Any]):
             num_val=int(d.get("num_val", 16)),
             num_test=int(d.get("num_test", 16)),
             seed=int(cfg.get("seed") or 0))
-    if name == "ucf101":
-        from .data.video_dataset import UCF101DataModule
-        return UCF101DataModule(**{**d, "batch_size":
-                                   int(d.get("batch_size", 32))})
-    if name == "msrvtt":
-        from .data.video_dataset import MSRVTTDataModule
-        return MSRVTTDataModule(**{**d, "batch_size":
-                                   int(d.get("batch_size", 32))})
+    if name in ("ucf101", "msrvtt"):
+        from .data.prefetch import PrefetchingDataModule
+        from .data.video_dataset import MSRVTTDataModule, UCF101DataModule
+        cls = UCF101DataModule if name == "ucf101" else MSRVTTDataModule
+        dm = cls(**{**d, "batch_size": int(d.get("batch_size", 32))})
+        workers = int(d.get("num_workers", 0))
+        return PrefetchingDataModule(dm, workers) if workers > 0 else dm
     raise ValueError(f"unknown datamodule {name!r}")
 
 
