@@ -99,17 +99,17 @@ class AttentionResidualBlock(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array, *, train: bool) -> jax.Array:
         h = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                         name="bn1")(x)
+                         dtype=self.dtype, name="bn1")(x)
         h = nn.relu(h)
         h = SamePadConv3d(self.n_hiddens // 2, 3, use_bias=False,
                           dtype=self.dtype, name="conv1")(h)
         h = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                         name="bn2")(h)
+                         dtype=self.dtype, name="bn2")(h)
         h = nn.relu(h)
         h = SamePadConv3d(self.n_hiddens, 1, use_bias=False,
                           dtype=self.dtype, name="conv2")(h)
         h = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                         name="bn3")(h)
+                         dtype=self.dtype, name="bn3")(h)
         h = nn.relu(h)
         h = AxialBlock(2, self.dtype, name="axial")(h)
         return x + h
@@ -147,7 +147,7 @@ class Encoder(nn.Module):
             h = AttentionResidualBlock(self.n_hiddens, self.dtype,
                                        name=f"res{i}")(h, train=train)
         h = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                         name="bn_out")(h)
+                         dtype=self.dtype, name="bn_out")(h)
         return nn.relu(h)
 
 
@@ -165,7 +165,7 @@ class Decoder(nn.Module):
             h = AttentionResidualBlock(self.n_hiddens, self.dtype,
                                        name=f"res{i}")(h, train=train)
         h = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                         name="bn_out")(h)
+                         dtype=self.dtype, name="bn_out")(h)
         h = nn.relu(h)
         steps = _downsample_steps(self.upsample)
         for i, stride in enumerate(steps):
@@ -346,7 +346,9 @@ class VQVAE(nn.Module):
         vq = self.codebook(z, train=train)
         x_recon = self.decoder(self.post_vq_conv(vq["embeddings"]),
                                train=train)
-        recon_loss = jnp.mean(jnp.square(x_recon - x)) * self.recon_loss_scale
+        recon_loss = jnp.mean(jnp.square(
+            x_recon.astype(jnp.float32) - x.astype(jnp.float32))) \
+            * self.recon_loss_scale
         return {
             "pred_data": x_recon,
             "gt_data": x,

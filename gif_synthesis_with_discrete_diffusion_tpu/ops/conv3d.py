@@ -96,7 +96,10 @@ def same_pad_conv_transpose3d(x: jax.Array, w: jax.Array, stride=1,
 
 
 class SamePadConv3d(nn.Module):
-    """Flax module wrapper. Weight layout (kD, kH, kW, Cin, Cout)."""
+    """Flax module wrapper. Weight layout (kD, kH, kW, Cin, Cout).
+
+    ``dtype`` is the COMPUTE dtype (bf16 halves conv time on the MXU);
+    params stay float32 for optimizer precision, like flax convention."""
     out_channels: int
     kernel_size: int | Sequence[int]
     stride: int | Sequence[int] = 1
@@ -110,15 +113,19 @@ class SamePadConv3d(nn.Module):
         w = self.param(
             "kernel",
             nn.initializers.variance_scaling(1.0, "fan_in", "uniform"),
-            (*ks, cin, self.out_channels), self.dtype)
+            (*ks, cin, self.out_channels), jnp.float32)
         b = (self.param("bias", nn.initializers.zeros,
-                        (self.out_channels,), self.dtype)
+                        (self.out_channels,), jnp.float32)
              if self.use_bias else None)
-        return same_pad_conv3d(x, w, self.stride, b)
+        y = same_pad_conv3d(x.astype(self.dtype), w.astype(self.dtype),
+                            self.stride, None)
+        y = y.astype(self.dtype)
+        return y + b.astype(self.dtype) if b is not None else y
 
 
 class SamePadConvTranspose3d(nn.Module):
-    """Flax transposed-conv wrapper. Weight layout (kD, kH, kW, Cin, Cout)."""
+    """Flax transposed-conv wrapper. Weight layout (kD, kH, kW, Cin, Cout).
+    ``dtype`` is the compute dtype; params stay float32."""
     out_channels: int
     kernel_size: int | Sequence[int]
     stride: int | Sequence[int] = 1
@@ -132,8 +139,11 @@ class SamePadConvTranspose3d(nn.Module):
         w = self.param(
             "kernel",
             nn.initializers.variance_scaling(1.0, "fan_in", "uniform"),
-            (*ks, cin, self.out_channels), self.dtype)
+            (*ks, cin, self.out_channels), jnp.float32)
         b = (self.param("bias", nn.initializers.zeros,
-                        (self.out_channels,), self.dtype)
+                        (self.out_channels,), jnp.float32)
              if self.use_bias else None)
-        return same_pad_conv_transpose3d(x, w, self.stride, b)
+        y = same_pad_conv_transpose3d(
+            x.astype(self.dtype), w.astype(self.dtype), self.stride, None)
+        y = y.astype(self.dtype)
+        return y + b.astype(self.dtype) if b is not None else y

@@ -50,6 +50,8 @@ def make_vqvae(model_cfg: Mapping[str, Any]) -> VQVAE:
         sequence_length=int(g.get("sequence_length", 4)),
         resolution=int(g.get("resolution", 128)),
         kernel_mode=str(g.get("kernel_mode", "auto")),
+        dtype=jnp.bfloat16 if str(g.get("dtype", "float32")) in
+        ("bfloat16", "bf16") else jnp.float32,
     )
 
 
