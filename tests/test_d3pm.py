@@ -193,3 +193,16 @@ def test_cfg_guidance_batched_equals_two_pass(sched):
     ref = jnp.clip(ref, d3pm.LOG_CLAMP, 0.0)
     np.testing.assert_allclose(np.asarray(got[:, :-1]), np.asarray(ref),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_sample_with_filter_ratio(sched):
+    """Partial denoise from existing content (dt.py:628-636 branch)."""
+    rng = np.random.default_rng(9)
+    content = jnp.asarray(rng.integers(0, K - 1, (B, L)), jnp.int32)
+    tokens = d3pm.sample(jax.random.key(1), sched, _uniform_denoise,
+                         cond_emb=None, cf_cond_emb=None, batch_size=B,
+                         seq_len=L, guidance_scale=1.0, filter_ratio=0.5,
+                         content_token=content)
+    arr = np.asarray(tokens)
+    assert arr.shape == (B, L)
+    assert (arr != K - 1).all()
