@@ -134,8 +134,10 @@ def _train_impl(cfg, run_dir) -> dict[str, float]:
     trainer = build_trainer(cfg, dm, run_dir)
     metrics: dict[str, float] = {}
     if cfg.get("train", True):
-        metrics = trainer.fit(resume=bool(cfg.get("resume"))
-                              or bool(cfg.get("ckpt_path")))
+        metrics = trainer.fit(
+            resume=bool(cfg.get("resume")),
+            restore_from=(str(cfg["ckpt_path"])
+                          if cfg.get("ckpt_path") else None))
     if cfg.get("test", False):
         metrics.update(trainer.test())
     return metrics
@@ -153,7 +155,9 @@ def evaluate(cfg: Mapping[str, Any]) -> dict[str, float]:
     dm = build_datamodule(cfg)
     trainer = build_trainer(cfg, dm, run_dir)
     if cfg.get("ckpt_path"):
-        trainer.ckpt = type(trainer.ckpt)(
+        from .utils.checkpoint import CheckpointManager
+        trainer.ckpt.close()
+        trainer.ckpt = CheckpointManager(
             Path(str(cfg["ckpt_path"])), monitor=trainer.ckpt.monitor,
             mode=trainer.ckpt.mode)
     return trainer.test()

@@ -113,14 +113,25 @@ class Trainer:
         for lg in self.loggers:
             lg.log_metrics(metrics, step)
 
-    def fit(self, resume: bool = False) -> dict[str, float]:
+    def fit(self, resume: bool = False,
+            restore_from: str | None = None) -> dict[str, float]:
         example = next(iter(self.datamodule.train_batches(0)))
         self.build(example)
         # place state on the mesh: data-parallel replication plus
         # tensor-parallel sharding of the large tables over the `model` axis
         self.state = shard_state(self.state, self.mesh)
-        if resume and self.ckpt.latest_step() is not None:
+        restored = False
+        if restore_from:
+            # resume from an external run's checkpoints (train ckpt_path=...,
+            # reference train_task.py:64 trainer.fit(ckpt_path=...))
+            mgr = CheckpointManager(restore_from, monitor=None)
+            self.state = mgr.restore(self.state)
+            mgr.close()
+            restored = True
+        elif resume and self.ckpt.latest_step() is not None:
             self.state = self.ckpt.restore(self.state)
+            restored = True
+        if restored:
             self.global_step = int(jax.device_get(self.state.step))
             steps_per_epoch = max(self.datamodule.steps_per_epoch(), 1)
             self.current_epoch = self.global_step // steps_per_epoch

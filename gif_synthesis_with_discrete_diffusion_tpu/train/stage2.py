@@ -83,13 +83,10 @@ class Stage2Trainer(Trainer):
             self.model_cfg, num_embed=self.autoencoder.n_codes,
             latent_shape=self.latent_shape)
         self._names = [n for n in self.loss_dict] + ["total"]
-        self.tokenizer = make_tokenizer(
-            self.model_cfg.get("generator", {}).get(
-                "textencoder", {}).get("bpe_path") if isinstance(
-                    self.model_cfg.get("generator", {}).get("textencoder"),
-                    Mapping) else None)
-        self._text_mode = (self.model_cfg.get("generator", {})
-                           .get("textencoder") or {}).get("mode") == "text"
+        tenc = self.model_cfg.get("generator", {}).get("textencoder") or {}
+        tenc = tenc if isinstance(tenc, Mapping) else {}
+        self.tokenizer = make_tokenizer(tenc.get("bpe_path"))
+        self._text_mode = tenc.get("mode") == "text"
         self.evaluator = None  # set externally or via cfg (FVD)
 
     def loss_names(self):

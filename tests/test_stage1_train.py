@@ -86,3 +86,14 @@ def test_stage1_test_split(tmp_path):
     trainer.fit()
     metrics = trainer.test()
     assert "total/test" in metrics and np.isfinite(metrics["total/test"])
+
+
+def test_stage1_restore_from_external_run(tmp_path):
+    """train ckpt_path=<other run> resumes from that run's checkpoints."""
+    t1 = Stage1Trainer(_cfg(tmp_path, max_epochs=1), _dm(), tmp_path / "a")
+    t1.fit()
+    t2 = Stage1Trainer(_cfg(tmp_path, max_epochs=2), _dm(), tmp_path / "b")
+    t2.fit(restore_from=str(tmp_path / "a" / "checkpoints"))
+    assert t2.global_step == 2 * t1.global_step
+    # new run saves its own checkpoints
+    assert (tmp_path / "b" / "checkpoints").exists()
