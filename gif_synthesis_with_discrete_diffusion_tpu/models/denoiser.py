@@ -152,7 +152,8 @@ class Block(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array, cond: jax.Array, timestep: jax.Array,
-                 *, deterministic: bool, fused: bool = False) -> jax.Array:
+                 deterministic: bool = True, fused: bool = False
+                 ) -> jax.Array:
         a = SelfAttention(self.n_embd, self.n_head, self.attn_pdrop,
                           self.resid_pdrop, name="attn1")(
             AdaLayerNorm(self.n_embd, self.diffusion_step, name="ln1")(
@@ -214,14 +215,14 @@ class DenoiserTransformer(nn.Module):
         cond = cond.astype(emb.dtype)
         block_cls = Block
         if self.remat:
-            block_cls = nn.remat(Block, static_argnums=(4,))
+            # args: (module, x, cond, t, deterministic, fused) -> 4,5 static
+            block_cls = nn.remat(Block, static_argnums=(4, 5))
         for i in range(self.n_layer):
             emb = block_cls(self.n_embd, self.n_head, self.diffusion_step,
                             self.mlp_hidden_times, self.attn_pdrop,
                             self.resid_pdrop, self.block_activate,
                             name=f"block{i}")(
-                emb, cond, t, deterministic=deterministic,
-                fused=fused_attention)
+                emb, cond, t, deterministic, fused_attention)
         h = nn.LayerNorm(name="ln_out")(emb)
         logits = _dense(self.num_embed, "to_logits")(h)  # out_cls = K-1
         return jnp.swapaxes(logits, 1, 2)  # (B, K-1, L)

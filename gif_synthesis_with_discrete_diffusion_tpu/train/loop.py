@@ -217,6 +217,11 @@ class Trainer:
         if self.es_monitor not in metrics:
             return False
         val = metrics[self.es_monitor]
+        if not np.isfinite(val):
+            # check_finite (reference configs/callbacks/early_stopping.yaml:13)
+            log.error("monitored metric %s is %s; stopping",
+                      self.es_monitor, val)
+            return True
         better = val < self._es_best if self.es_mode == "min" \
             else val > self._es_best
         if better:
