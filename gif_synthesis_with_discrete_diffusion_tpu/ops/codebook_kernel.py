@@ -153,6 +153,36 @@ def _vmem_ok(n: int, k: int, d: int) -> bool:
     return bytes_needed < 12 * 1024 * 1024
 
 
+def nearest_code_stats_sharded(x: jax.Array, embeddings: jax.Array, mesh,
+                               data_axis: str = "data", *,
+                               interpret: bool = False):
+    """Multi-device fused lookup: each device runs the Pallas kernel on its
+    batch shard; the EMA statistics psum over the data axis (the collective
+    the reference does manually with dist.all_reduce,
+    videogpt_vq_vae.py:197-198). Indices stay sharded with the rows."""
+    from functools import partial
+
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    # inside shard_map each instance sees only its shard -> the Pallas
+    # kernel is safe per-device (on TPU); CPU tests use the jnp oracle
+    use_pallas = (jax.default_backend() in ("tpu", "axon")
+                  and not interpret)
+
+    @partial(shard_map, mesh=mesh,
+             in_specs=(P(data_axis, None), P(None, None)),
+             out_specs=(P(data_axis), P(None), P(None, None)),
+             check_rep=False)
+    def _local(xl, emb):
+        idx, ntot, esum = nearest_code_stats(
+            xl, emb, use_pallas=use_pallas, interpret=interpret)
+        return (idx, jax.lax.psum(ntot, data_axis),
+                jax.lax.psum(esum, data_axis))
+
+    return _local(x, embeddings)
+
+
 def nearest_code_stats(x: jax.Array, embeddings: jax.Array, *,
                        use_pallas: bool | None = None,
                        interpret: bool = False):

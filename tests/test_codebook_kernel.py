@@ -51,3 +51,25 @@ def test_pallas_kernel_matches_reference(n, k, d):
     np.testing.assert_allclose(np.asarray(got[1]), np.asarray(ref[1]))
     np.testing.assert_allclose(np.asarray(got[2]), np.asarray(ref[2]),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_sharded_lookup_matches_global():
+    """shard_map codebook lookup over an 8-device data mesh == global."""
+    import jax
+    from gif_synthesis_with_discrete_diffusion_tpu.parallel.mesh import (
+        create_mesh, shard_batch)
+    from gif_synthesis_with_discrete_diffusion_tpu.ops.codebook_kernel \
+        import nearest_code_stats_sharded
+
+    rng = np.random.default_rng(5)
+    x = rng.standard_normal((64, 16)).astype(np.float32)
+    emb = rng.standard_normal((12, 16)).astype(np.float32)
+    mesh = create_mesh(data=8, model=1)
+    xs = shard_batch(jnp.asarray(x), mesh)
+    idx, ntot, esum = nearest_code_stats_sharded(
+        xs, jnp.asarray(emb), mesh)
+    ref = nearest_code_stats_reference(jnp.asarray(x), jnp.asarray(emb))
+    np.testing.assert_array_equal(np.asarray(idx), np.asarray(ref[0]))
+    np.testing.assert_allclose(np.asarray(ntot), np.asarray(ref[1]))
+    np.testing.assert_allclose(np.asarray(esum), np.asarray(ref[2]),
+                               rtol=1e-5, atol=1e-5)
