@@ -197,11 +197,34 @@ def bench_train_step() -> dict:
             "vs_baseline": 0.0}
 
 
+def _backend_watchdog(timeout_s: float = 180.0) -> None:
+    """Fail fast (instead of hanging forever) if the TPU backend is wedged —
+    the axon tunnel can enter a state where backend init never returns."""
+    import sys
+    import threading
+
+    ok = threading.Event()
+
+    def probe():
+        import jax
+        jax.devices()
+        ok.set()
+
+    t = threading.Thread(target=probe, daemon=True)
+    t.start()
+    if not ok.wait(timeout_s):
+        print(f"bench: backend init did not complete within {timeout_s}s "
+              f"(TPU tunnel unavailable); aborting", file=sys.stderr)
+        import os
+        os._exit(1)
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--metric", default="sampling",
                         choices=["sampling", "vqvae", "train_step"])
     args = parser.parse_args()
+    _backend_watchdog()
     fn = {"sampling": bench_sampling, "vqvae": bench_vqvae,
           "train_step": bench_train_step}[args.metric]
     print(json.dumps(fn()))
