@@ -66,8 +66,6 @@ def _build_models():
 def bench_sampling() -> dict:
     import jax
     import jax.numpy as jnp
-    from gif_synthesis_with_discrete_diffusion_tpu.models.discrete_diffusion \
-        import D3PM
     from gif_synthesis_with_discrete_diffusion_tpu.models.vqvae import VQVAE
 
     ae, d3pm, latent = _build_models()

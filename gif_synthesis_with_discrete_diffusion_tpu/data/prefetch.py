@@ -12,7 +12,7 @@ from __future__ import annotations
 
 import queue
 import threading
-from typing import Any, Iterator
+from typing import Iterator
 
 __all__ = ["PrefetchingDataModule", "prefetch_iterator"]
 

@@ -21,8 +21,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..data.preprocess import (IMAGENET_MEAN, IMAGENET_STD, preprocess_clip,
-                               unnormalize)
+from ..data.preprocess import preprocess_clip, unnormalize
 from ..models.i3d import InceptionI3d
 from ..utils.logging import get_logger
 

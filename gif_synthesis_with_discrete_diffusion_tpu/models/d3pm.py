@@ -28,8 +28,7 @@ float64 (TPUs have no f64; dt.py:231).
 """
 from __future__ import annotations
 
-import functools
-from typing import Any, Callable, NamedTuple
+from typing import Any, Callable
 
 import jax
 import jax.numpy as jnp

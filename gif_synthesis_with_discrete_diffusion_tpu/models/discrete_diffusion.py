@@ -17,7 +17,6 @@ conditioner's null branch, like the committed code's zeroed embeddings.
 """
 from __future__ import annotations
 
-import functools
 from typing import Any, Mapping, Optional, Sequence
 
 import jax

@@ -10,7 +10,7 @@ no hand-written all_reduce/broadcast calls anywhere in model code.
 """
 from __future__ import annotations
 
-from typing import Any, Mapping
+from typing import Any
 
 import jax
 import numpy as np
