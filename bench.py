@@ -211,8 +211,13 @@ def _backend_watchdog(timeout_s: float = 180.0) -> None:
     t = threading.Thread(target=probe, daemon=True)
     t.start()
     if not ok.wait(timeout_s):
-        print(f"bench: backend init did not complete within {timeout_s}s "
-              f"(TPU tunnel unavailable); aborting", file=sys.stderr)
+        msg = (f"backend init did not complete within {timeout_s}s "
+               f"(TPU tunnel unavailable)")
+        # Contract: bench.py ALWAYS prints exactly one JSON line on stdout,
+        # even on failure, so the driver can parse the outcome.
+        print(json.dumps({"metric": "error", "value": 0.0, "unit": "error",
+                          "vs_baseline": 0.0, "error": msg}), flush=True)
+        print(f"bench: {msg}; aborting", file=sys.stderr)
         import os
         os._exit(1)
 
@@ -225,7 +230,18 @@ def main():
     _backend_watchdog()
     fn = {"sampling": bench_sampling, "vqvae": bench_vqvae,
           "train_step": bench_train_step}[args.metric]
-    print(json.dumps(fn()))
+    try:
+        result = fn()
+    except Exception as exc:  # still emit one parseable JSON line
+        import sys
+        import traceback
+        traceback.print_exc()
+        result = {"metric": "error", "value": 0.0, "unit": "error",
+                  "vs_baseline": 0.0,
+                  "error": f"{type(exc).__name__}: {exc}"}
+        print(json.dumps(result), flush=True)
+        sys.exit(1)
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

@@ -295,13 +295,14 @@ class LtState:
 
 def sample_time(rng: jax.Array, lt: LtState, b: int, num_timesteps: int):
     """Importance-weighted t sampling with uniform warmup (dt.py:368-389)."""
+    imp_rng, uni_rng = jax.random.split(rng)
     lt_sqrt = jnp.sqrt(lt.history + 1e-10) + 0.0001
     lt_sqrt = lt_sqrt.at[0].set(lt_sqrt[1])
     pt_all = lt_sqrt / jnp.sum(lt_sqrt)
-    t_imp = jax.random.categorical(rng, jnp.log(pt_all), shape=(b,))
+    t_imp = jax.random.categorical(imp_rng, jnp.log(pt_all), shape=(b,))
     pt_imp = pt_all[t_imp]
 
-    t_uni = jax.random.randint(rng, (b,), 0, num_timesteps)
+    t_uni = jax.random.randint(uni_rng, (b,), 0, num_timesteps)
     pt_uni = jnp.full((b,), 1.0 / num_timesteps, jnp.float32)
 
     use_importance = jnp.all(lt.count > 10)

@@ -88,10 +88,30 @@ class D3PM(nn.Module):
                                     deterministic=deterministic)
         return fn
 
+    def empty_cond_embed(self, batch_size: int, seq_len: int) -> jax.Array:
+        """The learnable empty-text embedding, broadcast to (B, S, D)
+        (reference dt.py:155, 541-543). Requires ``learnable_cf``."""
+        e = self.empty_text_embed[None, :seq_len, :]
+        return jnp.broadcast_to(e, (batch_size, seq_len, self.condition_dim))
+
+    def apply_learnable_cf(self, cond_emb: Optional[jax.Array],
+                           empty_mask: Optional[jax.Array]) -> Optional[
+                               jax.Array]:
+        """Replace cond rows flagged empty with the learnable CF embedding
+        (reference dt.py:541-543: rows whose condition_mask marks no text
+        get empty_text_embed). No-op unless ``learnable_cf``."""
+        if not self.learnable_cf or cond_emb is None or empty_mask is None:
+            return cond_emb
+        b, s, _ = cond_emb.shape
+        empty = self.empty_cond_embed(b, s)
+        m = empty_mask.reshape(-1, 1, 1).astype(jnp.bool_)
+        return jnp.where(m, empty, cond_emb)
+
     def __call__(self, content_token: jax.Array,
-                 cond_emb: Optional[jax.Array], *, train: bool = True
-                 ) -> dict:
+                 cond_emb: Optional[jax.Array], *, train: bool = True,
+                 empty_mask: Optional[jax.Array] = None) -> dict:
         """Training loss (dt.py:520-565): returns mean vb loss + x0 recon."""
+        cond_emb = self.apply_learnable_cf(cond_emb, empty_mask)
         rng = self.make_rng("diffusion")
         lt = d3pm.LtState(history=self._lt_history.value,
                           count=self._lt_count.value)
@@ -116,6 +136,11 @@ class D3PM(nn.Module):
                mode: str = "auto") -> jax.Array:
         """mode: 'auto' | 'pallas' (fused TPU kernel per step) | 'fused'
         (token-space jnp) | 'reference' (log-onehot carry, dt.py:568-644)."""
+        if self.learnable_cf and cond_emb is not None:
+            # the trained empty-text embedding IS the CF branch input
+            # (upstream VQ-Diffusion semantics for dt.py:155)
+            cf_cond_emb = self.empty_cond_embed(cond_emb.shape[0],
+                                                cond_emb.shape[1])
         rng = self.make_rng("diffusion")
         if mode == "auto":
             mode = ("pallas" if jax.default_backend() in ("tpu", "axon")
@@ -161,7 +186,18 @@ class DiscreteDiffusionModel(nn.Module):
                  *, train: bool = True) -> dict:
         b = content_token.shape[0]
         cond_emb, _ = self.conditioner(batch, b)
-        return self.diffusion(content_token, cond_emb, train=train)
+        return self.diffusion(content_token, cond_emb, train=train,
+                              empty_mask=batch.get("empty_text_mask"))
+
+    def conditioner_embeddings(self, batch: Mapping[str, Any],
+                               batch_size: int):
+        """(cond, cf_cond) with the learnable-CF override applied — the
+        entry point for external samplers (megakernel path in stage 2)."""
+        cond_emb, cf_cond_emb = self.conditioner(batch, batch_size)
+        if self.diffusion.learnable_cf and cond_emb is not None:
+            cf_cond_emb = self.diffusion.empty_cond_embed(
+                cond_emb.shape[0], cond_emb.shape[1])
+        return cond_emb, cf_cond_emb
 
     def sample(self, batch: Mapping[str, Any], batch_size: int) -> jax.Array:
         cond_emb, cf_cond_emb = self.conditioner(batch, batch_size)

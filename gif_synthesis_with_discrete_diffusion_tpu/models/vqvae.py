@@ -23,7 +23,7 @@ Divergences from the reference (intended-vs-committed behavior, SURVEY §7):
 from __future__ import annotations
 
 import math
-from typing import Sequence
+from typing import Any, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -31,7 +31,8 @@ import numpy as np
 from flax import linen as nn
 
 from ..ops.codebook_kernel import (nearest_code_stats,
-                                   nearest_code_stats_reference)
+                                   nearest_code_stats_reference,
+                                   nearest_code_stats_sharded)
 from ..ops.conv3d import SamePadConv3d, SamePadConvTranspose3d
 
 __all__ = ["VQVAE", "Encoder", "Decoder", "Codebook", "AxialBlock",
@@ -196,14 +197,24 @@ class Codebook(nn.Module):
     commitment_cost: float = 0.25
     kernel_mode: str = "auto"  # 'auto' | 'pallas' | 'xla'
     rng_collection: str = "codebook"
+    mesh: Any = None  # jax.sharding.Mesh -> sharded fused kernel path
 
     def _lookup(self, flat: jax.Array, emb: jax.Array):
-        if self.kernel_mode == "pallas":
-            return nearest_code_stats(flat, emb, use_pallas=True)
         if self.kernel_mode == "xla":
             return nearest_code_stats_reference(flat, emb)
+        multi = (self.mesh is not None
+                 and self.mesh.shape.get("data", 1) > 1)
+        if multi:
+            # multi-device mesh: per-device fused Pallas kernel (on TPU;
+            # jnp oracle on CPU meshes) + psum of the EMA statistics over
+            # the data axis — the reference's dist.all_reduce
+            # (videogpt_vq_vae.py:197-198) as an XLA collective.
+            return nearest_code_stats_sharded(flat, emb, self.mesh)
+        if self.kernel_mode == "pallas":
+            return nearest_code_stats(flat, emb, use_pallas=True)
         # auto: Pallas on a single TPU chip; XLA (pjit-partitionable matmul)
-        # otherwise. jax.device_count() is static at trace time.
+        # otherwise. jax.device_count() is static at trace time. Without a
+        # mesh we cannot shard_map, so multi-device falls back to XLA.
         use_pallas = (jax.default_backend() in ("tpu", "axon")
                       and jax.device_count() == 1)
         return nearest_code_stats(flat, emb, use_pallas=use_pallas)
@@ -266,7 +277,14 @@ class Codebook(nn.Module):
         embeddings_st = z + jax.lax.stop_gradient(quantized - z)
 
         avg_probs = n_total / jnp.maximum(jnp.sum(n_total), 1.0)
-        perplexity = jnp.exp(-jnp.sum(avg_probs * jnp.log(avg_probs + 1e-10)))
+        entropy = -jnp.sum(avg_probs * jnp.log(avg_probs + 1e-10))
+        perplexity = jnp.exp(entropy)
+        # codebook-fit loss ||sg(z) - e||^2: under the EMA update this is a
+        # monitoring metric (the quantity a non-EMA codebook would descend);
+        # feeds the l_codebook registry entry (reference loss_func.py)
+        codebook_loss = jnp.mean(jnp.square(
+            jax.lax.stop_gradient(z.astype(jnp.float32))
+            - quantized.astype(jnp.float32)))
 
         if train and not self.is_initializing():
             decay = self.decay
@@ -286,7 +304,8 @@ class Codebook(nn.Module):
             init_var.value = jnp.ones((), jnp.bool_)
 
         return dict(embeddings=embeddings_st, encodings=encodings,
-                    commitment_loss=commitment_loss, perplexity=perplexity)
+                    commitment_loss=commitment_loss, perplexity=perplexity,
+                    entropy=entropy, codebook_loss=codebook_loss)
 
     def lookup(self, encodings: jax.Array) -> jax.Array:
         """Token ids -> embedding vectors (dictionary_lookup)."""
@@ -309,6 +328,7 @@ class VQVAE(nn.Module):
     resolution: int = 128
     recon_loss_scale: float = 1.0 / 0.06
     kernel_mode: str = "auto"
+    mesh: Any = None  # jax.sharding.Mesh for the sharded codebook kernel
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
@@ -320,7 +340,8 @@ class VQVAE(nn.Module):
                                          dtype=self.dtype)
         self.post_vq_conv = SamePadConv3d(self.n_hiddens, 1, dtype=self.dtype)
         self.codebook = Codebook(self.n_codes, self.embedding_dim,
-                                 kernel_mode=self.kernel_mode)
+                                 kernel_mode=self.kernel_mode,
+                                 mesh=self.mesh)
 
     @property
     def latent_shape(self) -> tuple[int, int, int]:
@@ -355,5 +376,7 @@ class VQVAE(nn.Module):
             "losses": {"recon_loss": recon_loss,
                        "commitment_loss": vq["commitment_loss"]},
             "metrics": {"perplexity": vq["perplexity"]},
+            "codebook_loss": vq["codebook_loss"],
+            "entropy": vq["entropy"],
             "encodings": vq["encodings"],
         }

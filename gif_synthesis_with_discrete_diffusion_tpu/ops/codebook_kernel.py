@@ -162,7 +162,7 @@ def nearest_code_stats_sharded(x: jax.Array, embeddings: jax.Array, mesh,
     videogpt_vq_vae.py:197-198). Indices stay sharded with the rows."""
     from functools import partial
 
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
     from jax.sharding import PartitionSpec as P
 
     # inside shard_map each instance sees only its shard -> the Pallas
@@ -173,7 +173,7 @@ def nearest_code_stats_sharded(x: jax.Array, embeddings: jax.Array, mesh,
     @partial(shard_map, mesh=mesh,
              in_specs=(P(data_axis, None), P(None, None)),
              out_specs=(P(data_axis), P(None), P(None, None)),
-             check_rep=False)
+             check_vma=False)
     def _local(xl, emb):
         idx, ntot, esum = nearest_code_stats(
             xl, emb, use_pallas=use_pallas, interpret=interpret)

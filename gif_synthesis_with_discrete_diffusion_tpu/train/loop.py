@@ -68,6 +68,17 @@ class Trainer:
             monitor=ck.get("monitor", "total/val"),
             mode=ck.get("mode", "min"),
             max_to_keep=int(ck.get("save_top_k", 3)))
+        # second checkpoint tracking the best FVD (reference
+        # configs/callbacks/default.yaml:19-25 fid_checkpoint monitoring
+        # Metrics/fvd-val); saved only on epochs where FVD was computed
+        fk = cb.get("fid_checkpoint") or {}
+        self.fid_ckpt = None
+        if fk:
+            self.fid_ckpt = CheckpointManager(
+                self.run_dir / "checkpoints_fvd",
+                monitor=fk.get("monitor", "Metrics/fvd-val"),
+                mode=fk.get("mode", "min"),
+                max_to_keep=int(fk.get("save_top_k", 1)))
         es = cb.get("early_stopping", {}) or {}
         self.es_monitor = es.get("monitor", "total/val")
         self.es_patience = int(es.get("patience", 5000))
@@ -154,6 +165,10 @@ class Trainer:
                     self._log(extra, self.global_step)
                 final_metrics.update(val_metrics)
                 self.ckpt.save(self.global_step, self.state, val_metrics)
+                if (self.fid_ckpt is not None
+                        and self.fid_ckpt.monitor in val_metrics):
+                    self.fid_ckpt.save(self.global_step, self.state,
+                                       val_metrics)
                 if self._early_stop(val_metrics):
                     log.info("early stopping at epoch %d", epoch)
                     break

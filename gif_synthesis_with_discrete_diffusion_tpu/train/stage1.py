@@ -39,9 +39,10 @@ class VQVAEState:
     opt_state: Any
 
 
-def make_vqvae(model_cfg: Mapping[str, Any]) -> VQVAE:
+def make_vqvae(model_cfg: Mapping[str, Any], mesh=None) -> VQVAE:
     g = dict(model_cfg.get("generator", model_cfg))
     return VQVAE(
+        mesh=mesh,
         embedding_dim=int(g.get("embedding_dim", 128)),
         n_codes=int(g.get("n_codes", 4096)),
         n_hiddens=int(g.get("n_hiddens", 256)),
@@ -78,7 +79,7 @@ class Stage1Trainer(Trainer):
             self.model_cfg.get("losses", {}).get("loss_dict", {"l_dummy": 1.0}))
         lr = float(self.model_cfg.get("lr_args", {}).get("gen_lr", 4e-4))
         self.tx = optax.adam(lr, b1=0.5, b2=0.999)
-        self.model = make_vqvae(self.model_cfg)
+        self.model = make_vqvae(self.model_cfg, mesh=self.mesh)
         self.resolution = self.model.resolution
         self._names = [n for n in self.loss_dict] + ["total"]
         self.evaluator = None  # optional FVD evaluator (reconstruction FVD,

@@ -76,7 +76,8 @@ class Stage2Trainer(Trainer):
         lr = float(self.model_cfg.get("lr_args", {}).get("gen_lr", 1e-4))
         self.tx = optax.adam(lr, b1=0.5, b2=0.999)
         self.autoencoder = make_vqvae(
-            {"generator": self.model_cfg.get("autoencoder", {})})
+            {"generator": self.model_cfg.get("autoencoder", {})},
+            mesh=self.mesh)
         self.resolution = self.autoencoder.resolution
         self.latent_shape = self.autoencoder.latent_shape
         self.generator = make_discrete_diffusion(
@@ -277,7 +278,7 @@ def _sample_step(state: Stage2State, batch, rng, *, autoencoder, generator,
         dcfg = dict(generator.d3pm_cfg)
         cond, cf_cond = generator.apply(
             {"params": state.gen_params}, batch, b,
-            method=lambda m, batch, b: m.conditioner(batch, b))
+            method=DiscreteDiffusionModel.conditioner_embeddings)
         sched = make_schedule(int(dcfg["diffusion_step"]),
                               int(dcfg["num_embed"]) + 1)
         tokens = megakernel_sample_tokens(

@@ -95,6 +95,39 @@ def test_stage2_loads_stage1_autoencoder(tmp_path):
     np.testing.assert_array_equal(got, ae_emb)
 
 
+def test_fvd_best_checkpoint_tracks_minimum(tmp_path):
+    """The second checkpoint manager (reference fid_checkpoint,
+    configs/callbacks/default.yaml:19-25) must save on FVD epochs and keep
+    the checkpoint with the lowest Metrics/fvd-val."""
+
+    class StubEvaluator:
+        fvds = iter([10.0, 3.0, 7.0])
+
+        def evaluate(self, trainer, split, epoch):
+            return {f"Metrics/fvd-{split}": next(self.fvds)}
+
+    cfg = _cfg(max_epochs=3)
+    cfg["trainer"]["fvd_every_n_epochs"] = 1
+    cfg["callbacks"] = {"fid_checkpoint": {"monitor": "Metrics/fvd-val",
+                                           "mode": "min"}}
+    t = Stage2Trainer(cfg, _dm(), tmp_path / "run")
+    t.evaluator = StubEvaluator()
+    steps_at_save = []
+    orig_save = t.fid_ckpt.save
+
+    def spy(step, state, metrics=None):
+        steps_at_save.append((step, metrics.get("Metrics/fvd-val")))
+        orig_save(step, state, metrics)
+
+    t.fid_ckpt.save = spy
+    t.fit()
+    assert (tmp_path / "run" / "checkpoints_fvd").exists()
+    assert [m for _, m in steps_at_save] == [10.0, 3.0, 7.0]
+    best_step = t.fid_ckpt.best_step()
+    min_step = min(steps_at_save, key=lambda sm: sm[1])[0]
+    assert best_step == min_step
+
+
 def test_stage2_frozen_autoencoder_unchanged(tmp_path):
     from gif_synthesis_with_discrete_diffusion_tpu.train.loop import (
         _device_batch)
