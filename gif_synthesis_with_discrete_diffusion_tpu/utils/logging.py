@@ -17,7 +17,8 @@ from typing import Any, Mapping
 import jax
 
 __all__ = ["get_logger", "MetricLogger", "CsvLogger", "TensorBoardLogger",
-           "WandbLogger", "build_metric_loggers"]
+           "WandbLogger", "MlflowLogger", "NeptuneLogger", "CometLogger",
+           "build_metric_loggers"]
 
 
 def _is_main_process() -> bool:
@@ -141,11 +142,114 @@ class WandbLogger(MetricLogger):
             self._run.finish()
 
 
+class MlflowLogger(MetricLogger):
+    """MLflow backend (reference configs/logger/mlflow.yaml); import-guarded."""
+
+    def __init__(self, save_dir: str | Path, tracking_uri: str | None = None,
+                 experiment_name: str = "gsdd-tpu", run_name: str | None = None):
+        self._mlflow = None
+        if not _is_main_process():
+            return
+        try:
+            import mlflow  # type: ignore
+            mlflow.set_tracking_uri(
+                tracking_uri or f"file:{Path(save_dir) / 'mlruns'}")
+            mlflow.set_experiment(experiment_name)
+            self._run = mlflow.start_run(run_name=run_name)
+            self._mlflow = mlflow
+        except Exception:
+            get_logger(__name__).warning("mlflow not available; disabled")
+
+    def log_metrics(self, metrics: Mapping[str, Any], step: int) -> None:
+        if self._mlflow is not None:
+            # mlflow metric keys may not contain '/'-incompatible chars; '/'
+            # itself is allowed
+            self._mlflow.log_metrics(
+                {k: float(v) for k, v in metrics.items()}, step=step)
+
+    def log_hyperparams(self, params: Mapping[str, Any]) -> None:
+        if self._mlflow is not None:
+            self._mlflow.log_params(dict(params))
+
+    def finalize(self) -> None:
+        if self._mlflow is not None:
+            self._mlflow.end_run()
+
+
+class NeptuneLogger(MetricLogger):
+    """Neptune backend (reference configs/logger/neptune.yaml); api key from
+    NEPTUNE_API_TOKEN, import-guarded."""
+
+    def __init__(self, project: str | None = None, **kwargs: Any):
+        self._run = None
+        if not _is_main_process():
+            return
+        try:
+            import neptune  # type: ignore
+            self._run = neptune.init_run(project=project, **kwargs)
+        except Exception:
+            get_logger(__name__).warning("neptune not available; disabled")
+
+    def log_metrics(self, metrics: Mapping[str, Any], step: int) -> None:
+        if self._run is not None:
+            for k, v in metrics.items():
+                self._run[k].append(float(v), step=step)
+
+    def log_hyperparams(self, params: Mapping[str, Any]) -> None:
+        if self._run is not None:
+            self._run["parameters"] = dict(params)
+
+    def finalize(self) -> None:
+        if self._run is not None:
+            self._run.stop()
+
+
+class CometLogger(MetricLogger):
+    """Comet backend (reference configs/logger/comet.yaml); api key from
+    COMET_API_TOKEN, import-guarded."""
+
+    def __init__(self, save_dir: str | Path,
+                 project_name: str = "gsdd-tpu", offline: bool = False,
+                 **kwargs: Any):
+        self._exp = None
+        if not _is_main_process():
+            return
+        try:
+            import comet_ml  # type: ignore
+            cls = comet_ml.OfflineExperiment if offline else comet_ml.Experiment
+            extra = {"offline_directory": str(save_dir)} if offline else {}
+            self._exp = cls(project_name=project_name, **extra, **kwargs)
+        except Exception:
+            get_logger(__name__).warning("comet_ml not available; disabled")
+
+    def log_metrics(self, metrics: Mapping[str, Any], step: int) -> None:
+        if self._exp is not None:
+            self._exp.log_metrics(
+                {k: float(v) for k, v in metrics.items()}, step=step)
+
+    def log_hyperparams(self, params: Mapping[str, Any]) -> None:
+        if self._exp is not None:
+            self._exp.log_parameters(dict(params))
+
+    def finalize(self) -> None:
+        if self._exp is not None:
+            self._exp.end()
+
+
 _BACKENDS = {
     "csv": lambda run_dir, cfg: CsvLogger(run_dir),
     "tensorboard": lambda run_dir, cfg: TensorBoardLogger(Path(run_dir) / "tb"),
     "wandb": lambda run_dir, cfg: WandbLogger(
         cfg.get("project", "gsdd-tpu"), run_dir),
+    "mlflow": lambda run_dir, cfg: MlflowLogger(
+        run_dir, tracking_uri=cfg.get("tracking_uri"),
+        experiment_name=cfg.get("experiment_name", "gsdd-tpu"),
+        run_name=cfg.get("run_name")),
+    "neptune": lambda run_dir, cfg: NeptuneLogger(
+        project=cfg.get("project")),
+    "comet": lambda run_dir, cfg: CometLogger(
+        run_dir, project_name=cfg.get("project_name", "gsdd-tpu"),
+        offline=bool(cfg.get("offline", False))),
 }
 
 

@@ -46,6 +46,27 @@ def test_group_override_and_value_override():
     assert cfg["trainer"]["max_epochs"] == 3
 
 
+def test_many_loggers_composes_and_builds():
+    """logger=many_loggers covers all six backends (reference
+    configs/logger/*.yaml); unavailable packages degrade to no-op."""
+    from gif_synthesis_with_discrete_diffusion_tpu.utils.logging import (
+        _BACKENDS, build_metric_loggers)
+
+    cfg = compose("train", ["logger=many_loggers"])
+    for name in ("csv", "tensorboard", "wandb", "mlflow", "neptune", "comet"):
+        assert name in _BACKENDS
+        assert name in cfg["logger"]
+
+    import tempfile
+    with tempfile.TemporaryDirectory() as d:
+        loggers = build_metric_loggers(cfg["logger"], d)
+        assert len(loggers) == 6
+        for lg in loggers:   # all must no-op cleanly when pkg is absent
+            lg.log_metrics({"total/val": 1.0}, step=1)
+            lg.log_hyperparams({"lr": 1e-3})
+            lg.finalize()
+
+
 def test_bad_override_raises():
     with pytest.raises(ConfigError):
         compose("train", ["nonexistent.key=1"])
