@@ -48,6 +48,10 @@ class SyntheticVideoDataModule:
     seed: int = 0
     dataname: str = "synthetic"
     class_names: tuple = CLASS_NAMES
+    # when > 0, items carry a deterministic random `frame` feature vector of
+    # this size (e.g. 2048 to mimic ResNet50 start-frame conditioning,
+    # reference ucf101_dataset.py:45-47)
+    frame_dim: int = 0
 
     _cache: dict = field(default_factory=dict, repr=False)
 
@@ -64,11 +68,15 @@ class SyntheticVideoDataModule:
                 label = int(rng.integers(0, self.nclasses))
                 video = _render_clip(rng, label, self.sequence_length,
                                      self.resolution)
-                items.append(dict(
+                item = dict(
                     video=video, label=label,
                     text=self.class_names[label],
                     length=self.sequence_length,
-                    orig_length=self.sequence_length))
+                    orig_length=self.sequence_length)
+                if self.frame_dim > 0:
+                    item["frame"] = rng.standard_normal(
+                        self.frame_dim).astype(np.float32)
+                items.append(item)
             self._cache[name] = items
         return self._cache[name]
 

@@ -76,6 +76,25 @@ def test_stage2_label_conditioning(tmp_path):
     assert any("label_emb" in n for n in names)
 
 
+def test_stage2_frame_conditioning_real_shape(tmp_path):
+    """Frame conditioning over (B, 2048) start-frame features — the shape
+    the reference's ResNet50 path attaches (ucf101_dataset.py:45-47)."""
+    cond = {"mode": "frame", "dim": 32}
+    dm = SyntheticVideoDataModule(batch_size=8, sequence_length=2,
+                                  resolution=16, num_train=8, num_val=8,
+                                  frame_dim=2048)
+    t = Stage2Trainer(_cfg(conditioner=cond), dm, tmp_path / "run")
+    metrics = t.fit()
+    assert np.isfinite(metrics["total/train"])
+    flat = jax.tree_util.tree_flatten_with_path(t.state.gen_params)[0]
+    names = ["/".join(str(k) for k in path) for path, _ in flat]
+    assert any("frame_proj" in n for n in names)
+    # sampling consumes the frame features end-to-end
+    batch = next(iter(dm.val_batches(0)))
+    videos = t.sample_videos(batch, jax.random.key(0))
+    assert videos.shape == (8, 2, 16, 16, 3)
+
+
 def test_stage2_loads_stage1_autoencoder(tmp_path):
     s1cfg = {
         "seed": 0, "trainer": {"max_epochs": 1, "mesh": {"data": None}},
