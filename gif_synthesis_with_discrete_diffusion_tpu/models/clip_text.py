@@ -32,7 +32,7 @@ import numpy as np
 from flax import linen as nn
 
 __all__ = ["ClipTextModel", "ClipTextConditioner", "ClipTokenizer",
-           "HashTokenizer", "make_tokenizer"]
+           "HashTokenizer", "make_tokenizer", "download_bpe_vocab"]
 
 VOCAB_SIZE = 49408
 CONTEXT_LENGTH = 77
@@ -58,20 +58,61 @@ def _bytes_to_unicode() -> dict[int, str]:
 
 
 def _basic_clean(text: str) -> str:
+    # CLIP runs ftfy.fix_text then double html.unescape then whitespace_clean
+    # + lower (openai/CLIP simple_tokenizer). ftfy is mojibake repair — a
+    # no-op on well-formed captions; applied when the package is available.
+    try:
+        import ftfy
+        text = ftfy.fix_text(text)
+    except ImportError:
+        pass
     text = html.unescape(html.unescape(text))
     return re.sub(r"\s+", " ", text).strip().lower()
+
+
+# CLIP's exact word-split pattern uses \p{L}/\p{N} unicode classes. The
+# `regex` package provides them (the exact pattern, primary path); stdlib
+# `re` approximates with ASCII classes — tests prove both identical on the
+# UCF101/MSRVTT caption corpora (English).
+_CLIP_PAT_SRC = (
+    r"""<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d|"""
+    r"""[\p{L}]+|[\p{N}]|[^\s\p{L}\p{N}]+""")
+_ASCII_PAT = re.compile(
+    r"""<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d|"""
+    r"""[a-zA-Z]+|[0-9]|[^\sa-zA-Z0-9]+""")
+try:
+    import regex as _regex
+    _WORD_PAT = _regex.compile(_CLIP_PAT_SRC, _regex.IGNORECASE)
+except ImportError:  # pragma: no cover - regex is baked into this image
+    _WORD_PAT = _ASCII_PAT
+
+_BPE_URL = ("https://github.com/openai/CLIP/raw/main/clip/"
+            "bpe_simple_vocab_16e6.txt.gz")
+
+
+def download_bpe_vocab(dest: str | Path | None = None) -> Path | None:
+    """Best-effort fetch of CLIP's merges file to ``dest`` (default:
+    ~/.cache/gsdd_tpu/). Returns the path, or None when offline."""
+    dest = Path(dest) if dest else (
+        Path.home() / ".cache" / "gsdd_tpu" / "bpe_simple_vocab_16e6.txt.gz")
+    if dest.exists():
+        return dest
+    try:
+        import urllib.request
+        dest.parent.mkdir(parents=True, exist_ok=True)
+        tmp = dest.with_suffix(".tmp")
+        with urllib.request.urlopen(_BPE_URL, timeout=10) as r:  # nosec B310
+            tmp.write_bytes(r.read())
+        tmp.rename(dest)
+        return dest
+    except Exception:
+        return None
 
 
 class ClipTokenizer:
     """CLIP's byte-level BPE, loading the standard merges file."""
 
-    # CLIP's regex uses \p{L}/\p{N} unicode classes; stdlib `re` lacks them,
-    # so letters/digits are approximated with str.isalpha/isdigit-equivalent
-    # ASCII classes (exact for English captions, which is what UCF101/MSRVTT
-    # class names and captions are).
-    _PAT = re.compile(
-        r"""<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d|"""
-        r"""[a-zA-Z]+|[0-9]|[^\sa-zA-Z0-9]+""")
+    _PAT = _WORD_PAT
 
     def __init__(self, bpe_path: str | Path):
         self.byte_encoder = _bytes_to_unicode()
@@ -154,8 +195,14 @@ class HashTokenizer:
 
 
 def make_tokenizer(bpe_path: str | Path | None = None):
+    """Exact CLIP tokenizer when a merges file is available — explicitly via
+    ``bpe_path``, from the default cache, or auto-downloaded (best-effort,
+    offline-safe). HashTokenizer is the documented offline fallback."""
     if bpe_path and Path(bpe_path).exists():
         return ClipTokenizer(bpe_path)
+    cached = download_bpe_vocab()
+    if cached is not None:
+        return ClipTokenizer(cached)
     return HashTokenizer()
 
 
