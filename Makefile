@@ -1,12 +1,15 @@
 # Port of the reference Makefile (reference Makefile:22-41)
 
-.PHONY: test test-full train debug clean bench
+.PHONY: test test-full test-tpu train debug clean bench
 
 test:            ## fast tests only
-	python -m pytest tests/ -q -m "not slow"
+	python -m pytest tests/ -q -m "not slow and not tpu"
 
-test-full:       ## all tests incl. slow parity checks
+test-full:       ## all tests incl. slow parity checks (CPU mesh)
 	python -m pytest tests/ -q
+
+test-tpu:        ## compile-smoke the Pallas kernels on the real chip
+	python -m pytest tests/ -q -m tpu
 
 train:           ## smoke-train on synthetic data
 	python scripts/train.py datamodule=synthetic trainer.max_epochs=3

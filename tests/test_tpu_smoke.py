@@ -1,0 +1,164 @@
+"""TPU compile-smoke tier (`pytest -m tpu`): Mosaic-compile the Pallas
+kernels on the real chip with small shapes.
+
+CPU tests run the kernels with ``interpret=True``, which checks NONE of the
+Mosaic constraints (no scatter, (8,128) tiling, bool-vector rules) — these
+tests exist so Mosaic regressions surface without running the full bench.
+
+The session conftest forces the CPU platform before jax initializes, so
+each smoke runs in a SUBPROCESS with the CPU-forcing env stripped; a quick
+device probe skips the tier when the TPU tunnel is wedged (single-tenant,
+init can hang for 20+ min).
+"""
+import os
+import subprocess
+import sys
+
+import pytest
+
+pytestmark = pytest.mark.tpu
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _tpu_env() -> dict:
+    env = dict(os.environ)
+    for var in ("JAX_PLATFORMS", "JAX_PLATFORM_NAME"):
+        env.pop(var, None)
+    flags = env.get("XLA_FLAGS", "")
+    env["XLA_FLAGS"] = " ".join(
+        f for f in flags.split()
+        if "xla_force_host_platform_device_count" not in f)
+    env["PYTHONPATH"] = _REPO + os.pathsep + env.get("PYTHONPATH", "")
+    return env
+
+
+def _run_on_tpu(code: str, timeout: float = 420.0):
+    return subprocess.run(
+        [sys.executable, "-c", code], env=_tpu_env(), cwd=_REPO,
+        capture_output=True, text=True, timeout=timeout)
+
+
+_PROBE = """
+import jax
+assert jax.default_backend() in ("tpu", "axon"), jax.default_backend()
+print("devices:", len(jax.devices()))
+"""
+
+
+@pytest.fixture(scope="module")
+def tpu_available():
+    try:
+        r = _run_on_tpu(_PROBE, timeout=120.0)
+    except subprocess.TimeoutExpired:
+        pytest.skip("TPU backend init timed out (tunnel wedged)")
+    if r.returncode != 0:
+        pytest.skip(f"TPU unavailable: {r.stderr.strip()[-500:]}")
+    return True
+
+
+def _check(r):
+    assert r.returncode == 0, (
+        f"--- stdout ---\n{r.stdout[-2000:]}\n--- stderr ---\n"
+        f"{r.stderr[-4000:]}")
+
+
+def test_codebook_kernel_compiles_on_tpu(tpu_available):
+    _check(_run_on_tpu("""
+import numpy as np
+import jax.numpy as jnp
+from gif_synthesis_with_discrete_diffusion_tpu.ops.codebook_kernel import (
+    nearest_code_stats, nearest_code_stats_reference)
+rng = np.random.default_rng(0)
+x = jnp.asarray(rng.standard_normal((512, 64)), jnp.float32)
+emb = jnp.asarray(rng.standard_normal((96, 64)), jnp.float32)
+got = nearest_code_stats(x, emb, use_pallas=True)
+want = nearest_code_stats_reference(x, emb)
+np.testing.assert_array_equal(np.asarray(got[0]), np.asarray(want[0]))
+np.testing.assert_allclose(np.asarray(got[1]), np.asarray(want[1]))
+np.testing.assert_allclose(np.asarray(got[2]), np.asarray(want[2]),
+                           rtol=1e-4, atol=1e-4)
+print("codebook kernel ok")
+"""))
+
+
+def test_sampler_kernel_compiles_on_tpu(tpu_available):
+    _check(_run_on_tpu("""
+import numpy as np
+import jax, jax.numpy as jnp
+from gif_synthesis_with_discrete_diffusion_tpu.models import d3pm
+from gif_synthesis_with_discrete_diffusion_tpu.models.d3pm import (
+    _analytic_posterior, _guided_log_x_recon)
+from gif_synthesis_with_discrete_diffusion_tpu.ops.sampler_kernel import (
+    fused_sample_step, schedule_rows)
+T, K, L, B = 6, 25, 16, 2
+sched = d3pm.make_schedule(T, K)
+rng = np.random.default_rng(1)
+tokens = jnp.asarray(rng.integers(0, K, (B, L)), jnp.int32)
+logits2 = jnp.asarray(rng.standard_normal((2 * B, K - 1, L)), jnp.float32)
+rows = schedule_rows(sched)
+t = 3
+new_tok, post = fused_sample_step(
+    logits2, tokens, rows[t], jnp.int32(0), guidance=2.0, num_classes=K,
+    sample=False, return_posterior=True)
+r = _guided_log_x_recon(logits2, 2.0, B)
+want = _analytic_posterior(sched, r, tokens, jnp.asarray(t))
+np.testing.assert_allclose(np.asarray(post), np.asarray(want),
+                           rtol=2e-3, atol=2e-3)
+np.testing.assert_array_equal(np.asarray(new_tok),
+                              np.asarray(jnp.argmax(want, axis=1)))
+print("sampler kernel ok")
+"""))
+
+
+def test_megakernel_compiles_on_tpu(tpu_available):
+    _check(_run_on_tpu("""
+import numpy as np
+import jax, jax.numpy as jnp
+from gif_synthesis_with_discrete_diffusion_tpu.models import d3pm
+from gif_synthesis_with_discrete_diffusion_tpu.models.denoiser import (
+    DenoiserTransformer)
+from gif_synthesis_with_discrete_diffusion_tpu.ops import megakernel as mk
+T, K_CODES, L, B = 6, 24, 16, 2
+N_LAYER, N_EMBD, N_HEAD, COND_DIM = 2, 32, 4, 16
+sched = d3pm.make_schedule(T, K_CODES + 1)
+model = DenoiserTransformer(
+    num_embed=K_CODES, spatial_size=(4, 4), n_layer=N_LAYER, n_embd=N_EMBD,
+    n_head=N_HEAD, content_seq_len=L, condition_dim=COND_DIM,
+    diffusion_step=T)
+variables = model.init(jax.random.key(0), jnp.zeros((B, L), jnp.int32),
+                       jnp.zeros((B, 1, COND_DIM)), jnp.zeros((B,), jnp.int32))
+rng = np.random.default_rng(2)
+cond = jnp.asarray(rng.standard_normal((B, 1, COND_DIM)), jnp.float32)
+tokens = mk.megakernel_sample_tokens(
+    jax.random.key(0), sched, variables["params"], cond,
+    jnp.zeros_like(cond), B, L, spatial_size=(4, 4), n_layer=N_LAYER,
+    n_head=N_HEAD, n_embd=N_EMBD, diffusion_step=T, guidance_scale=2.0,
+    weights_dtype=jnp.float32)
+arr = np.asarray(tokens)
+assert arr.shape == (B, L)
+assert arr.min() >= 0 and arr.max() <= K_CODES
+print("megakernel ok")
+"""))
+
+
+def test_attention_kernel_compiles_on_tpu(tpu_available):
+    _check(_run_on_tpu("""
+import numpy as np
+import jax, jax.numpy as jnp
+from gif_synthesis_with_discrete_diffusion_tpu.models.denoiser import (
+    DenoiserTransformer)
+B, L, COND_DIM = 2, 16, 16
+model = DenoiserTransformer(
+    num_embed=24, spatial_size=(4, 4), n_layer=2, n_embd=32, n_head=4,
+    content_seq_len=L, condition_dim=COND_DIM, diffusion_step=6)
+tokens = jnp.zeros((B, L), jnp.int32)
+cond = jnp.zeros((B, 1, COND_DIM))
+t = jnp.zeros((B,), jnp.int32)
+variables = model.init(jax.random.key(0), tokens, cond, t)
+fused = model.apply(variables, tokens, cond, t, fused_attention=True)
+plain = model.apply(variables, tokens, cond, t, fused_attention=False)
+np.testing.assert_allclose(np.asarray(fused), np.asarray(plain),
+                           rtol=2e-3, atol=2e-3)
+print("attention kernel ok")
+"""))
