@@ -220,8 +220,12 @@ def make_discrete_diffusion(model_cfg: Mapping[str, Any], num_embed: int,
     tcfg = dict(dcfg.pop("transformer", {}))
     dalle = dict(tcfg.pop("dalle", {}))
     t, h, w = latent_shape
-    seq_len = int(np.prod(latent_shape))
-    spatial = dalle.get("spatial_size", [h * t, w])
+    seq_len = int(tcfg.get("content_seq_len") or np.prod(latent_shape))
+    # precedence mirrors the reference CLI surface (ucf-ddiff-train.job:16
+    # passes transformer.content_spatial_size AND transformer.dalle.
+    # spatial_size; transformer_utils.py:329-332 derives a square fallback)
+    spatial = (tcfg.get("content_spatial_size")
+               or dalle.get("spatial_size") or [h * t, w])
     d3pm_cfg = dict(
         num_embed=num_embed,
         content_seq_len=seq_len,

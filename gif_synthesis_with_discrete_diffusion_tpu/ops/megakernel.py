@@ -156,7 +156,8 @@ def _kernel(sched_ref, seed_ref, tokens_ref, adaln_ref, kc_ref, vc_ref,
             out_ref, lc_scratch, *,
             n_layer: int, n_head: int, n_embd: int, k_valid: int,
             s_valid: int, guidance: float, num_classes: int,
-            use_cfg: bool, sample_mode: bool = True):
+            use_cfg: bool, sample_mode: bool = True,
+            cross_as_bias: bool = False):
     b = pl.program_id(0)
     br = pl.program_id(1)
     L = tokens_ref.shape[2]
@@ -179,6 +180,21 @@ def _kernel(sched_ref, seed_ref, tokens_ref, adaln_ref, kc_ref, vc_ref,
     #   scores[:, h*Lk+j] = q @ Kstack  with Kstack[c, h*Lk+j] =
     #       k[j, c] * [c // d == h]
     #   out = probs_cat @ Vstack        with Vstack[h*Lk+j, c] likewise.
+    #
+    # Softmax is VECTORIZED over all heads at once: subtracting the GLOBAL
+    # row max (any per-row constant gives the same per-head softmax, since
+    # each head's numerator and denominator scale identically) makes max and
+    # exp single full-width ops instead of 16 per-head slices. The diff is
+    # clamped at -80 so a head far below the row max keeps a positive f32
+    # denominator (exp(-80)=1.8e-35 > min normal). Denominators:
+    #   * lk small (cross-attn): e @ block-diag-ones broadcasts each head's
+    #     sum back to its lanes in one MXU op -> single division.
+    #   * lk large (self-attn): 16 per-head sums (cheap (L,1) outputs), the
+    #     division FOLDED after the PV matmul onto (L, C) instead of
+    #     (L, H*lk) -- the block-diagonal Vstack keeps heads separable.
+    # Measured on the v5e tunnel (B=32, 19 layers): cross-attn 10.4ms ->
+    # ~1ms/step (was op-dispatch-bound on (512,8) slices), self-attn softmax
+    # 10.9 -> ~6ms/step (drops the p_cat concat + 16-slice max/exp/div).
     def stacked_attention(q, k, v, lk, valid_mask):
         # block mask over (H*lk, C): row h*lk+j belongs to head h; column c
         # to head c // d. No transposes (Mosaic can't legalize them here).
@@ -198,21 +214,45 @@ def _kernel(sched_ref, seed_ref, tokens_ref, adaln_ref, kc_ref, vc_ref,
             q.astype(jnp.bfloat16), kstack,
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32) * scale      # (L, H*lk)
-        # per-head softmax via static block slices (Mosaic rejects the
-        # (L, H, lk) minor-dim-splitting reshape); matmuls stay stacked
-        blocks = []
-        for h in range(n_head):
-            blk = scores[:, h * lk:(h + 1) * lk]
-            if valid_mask is not None:
-                blk = jnp.where(valid_mask[None, :], blk, -jnp.inf)
-            m = jnp.max(blk, axis=1, keepdims=True)
-            pb = jnp.exp(blk - m)
-            blocks.append(pb / jnp.sum(pb, axis=1, keepdims=True))
-        p_cat = jnp.concatenate(blocks, axis=1)              # (L, H*lk)
-        return jax.lax.dot_general(
-            p_cat.astype(jnp.bfloat16), vstack,
+        if valid_mask is not None:
+            # tiled per-head mask: lane j is valid iff (j % lk) < s_valid
+            lane = jax.lax.broadcasted_iota(
+                jnp.int32, (1, n_head * lk), 1)[0] % lk
+            tiled_valid = (lane < s_valid)[None, :]
+            scores = jnp.where(tiled_valid, scores, -jnp.inf)
+        m = jnp.max(scores, axis=1, keepdims=True)           # global row max
+        e = jnp.exp(jnp.maximum(scores - m, -80.0))
+        if valid_mask is not None:
+            e = jnp.where(tiled_valid, e, 0.0)
+        if lk <= 64:
+            # one (H*lk, H*lk) block-diag-ones matmul broadcasts per-head
+            # sums to every lane of that head
+            r2 = jax.lax.broadcasted_iota(
+                jnp.int32, (n_head * lk, n_head * lk), 0) // lk
+            c2 = jax.lax.broadcasted_iota(
+                jnp.int32, (n_head * lk, n_head * lk), 1) // lk
+            ones_bd = jnp.where(r2 == c2, 1.0, 0.0)
+            den = jax.lax.dot_general(
+                e, ones_bd, dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)          # (L, H*lk)
+            p = e / den
+            return jax.lax.dot_general(
+                p.astype(jnp.bfloat16), vstack,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)          # (L, C)
+        dens = [jnp.sum(e[:, h * lk:(h + 1) * lk], axis=1, keepdims=True)
+                for h in range(n_head)]
+        den = jnp.concatenate(dens, axis=1)                  # (L, H)
+        out = jax.lax.dot_general(
+            e.astype(jnp.bfloat16), vstack,
             dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)              # (L, C)
+            preferred_element_type=jnp.float32)              # (L, C) unnorm
+        hcol = jax.lax.broadcasted_iota(
+            jnp.int32, (n_head, n_embd), 1) // d
+        hrow = jax.lax.broadcasted_iota(
+            jnp.int32, (n_head, n_embd), 0)
+        expand = jnp.where(hcol == hrow, 1.0, 0.0)           # (H, C)
+        return out / _mm(den, expand)
 
     kv_valid_1d = (jax.lax.broadcasted_iota(jnp.int32, (1, sp), 1)
                    < s_valid)[0]
@@ -228,11 +268,21 @@ def _kernel(sched_ref, seed_ref, tokens_ref, adaln_ref, kc_ref, vc_ref,
         x = x + _mm(o, wproj_ref[i]) + bproj_ref[i]
 
         # --- cross-attention over the (precomputed) condition K/V ---
-        h = _ln(x) * (1.0 + ada[1, :n_embd]) + ada[1, n_embd:]
-        qc = _mm(h, wq_c_ref[i]) + bq_c_ref[i]                # (L, C)
-        oc = stacked_attention(qc, kc_ref[0, 0, i], vc_ref[0, 0, i], sp,
-                               kv_valid_1d)
-        x = x + _mm(oc, wproj_c_ref[i]) + bproj_c_ref[i]
+        if cross_as_bias:
+            # Single-token condition (s_valid==1, the reference's pooled
+            # CLIP embedding, dd.py:22-25): softmax over one key is
+            # identically 1, so cross-attn == v @ wproj_c + bproj_c — a
+            # per-(row, branch, layer) constant precomputed OUTSIDE the
+            # kernel (megakernel_sample_tokens). The AdaLN'd query is dead.
+            # Bit-equivalent to the full path; saves ~10ms/step at B=32
+            # (the (512, 8)-sliced cross softmax was op-dispatch-bound).
+            x = x + kc_ref[0, 0, i][0:1, :]
+        else:
+            h = _ln(x) * (1.0 + ada[1, :n_embd]) + ada[1, n_embd:]
+            qc = _mm(h, wq_c_ref[i]) + bq_c_ref[i]            # (L, C)
+            oc = stacked_attention(qc, kc_ref[0, 0, i], vc_ref[0, 0, i], sp,
+                                   kv_valid_1d)
+            x = x + _mm(oc, wproj_c_ref[i]) + bproj_c_ref[i]
 
         # --- MLP ---
         h = _ln(x) * ln2s_ref[i] + ln2b_ref[i]
@@ -342,7 +392,8 @@ def _sample(sched_ref, seed_ref, r, tok, out_ref, kvalid, *, b, k_valid,
 
 def _megakernel_step(packed, tokens, adaln, kc, vc, pos, sched_row, seed, *,
                      n_layer, n_head, n_embd, num_classes, guidance,
-                     use_cfg, s_valid, sample_mode=True, interpret=False):
+                     use_cfg, s_valid, sample_mode=True, interpret=False,
+                     cross_as_bias=False):
     b, L = tokens.shape
     k_valid = packed["wlog"].shape[1]
     kp = _round_up(k_valid, 128)
@@ -358,7 +409,8 @@ def _megakernel_step(packed, tokens, adaln, kc, vc, pos, sched_row, seed, *,
     kernel = functools.partial(
         _kernel, n_layer=n_layer, n_head=n_head, n_embd=n_embd,
         k_valid=k_valid, s_valid=s_valid, guidance=guidance,
-        num_classes=num_classes, use_cfg=use_cfg, sample_mode=sample_mode)
+        num_classes=num_classes, use_cfg=use_cfg, sample_mode=sample_mode,
+        cross_as_bias=cross_as_bias)
 
     def const(shape_arr):
         nd = shape_arr.ndim
@@ -426,6 +478,9 @@ def megakernel_sample_tokens(rng: jax.Array, sched: D3PMSchedule,
 
     # cross-attention K/V per layer per branch (condition-only)
     use_cfg = abs(guidance_scale - 1.0) >= 1e-3
+    s_valid = cond_emb.shape[1]
+    cross_as_bias = s_valid == 1
+
     def cross_kv(c):
         k = jnp.einsum("bsd,lde->blse", c.astype(jnp.float32),
                        packed["wk_c"]) + packed["bk_c"][None, :, None, :]
@@ -433,19 +488,41 @@ def megakernel_sample_tokens(rng: jax.Array, sched: D3PMSchedule,
                        packed["wv_c"]) + packed["bv_c"][None, :, None, :]
         return k, v
 
-    kc_c, vc_c = cross_kv(cond_emb)
-    if use_cfg:
-        cfb = jnp.broadcast_to(cf_cond_emb, cond_emb.shape)
-        kc_u, vc_u = cross_kv(cfb)
-        kc = jnp.stack([kc_c, kc_u], axis=1)   # (B, 2, 19, S, C)
-        vc = jnp.stack([vc_c, vc_u], axis=1)
+    def cross_bias(c):
+        """Single-token condition: cross-attn output == v @ wproj_c +
+        bproj_c for every query (softmax over one key is 1). bf16-round v
+        first so the result matches the full path's bf16 Vstack matmul."""
+        _, v = cross_kv(c)                       # (B, 19, 1, C)
+        vb = v[:, :, 0].astype(jnp.bfloat16).astype(jnp.float32)
+        return (jnp.einsum("blc,lce->ble", vb,
+                           packed["wproj_c"].astype(jnp.float32))
+                + packed["bproj_c"][None])       # (B, 19, C)
+
+    if cross_as_bias:
+        ob_c = cross_bias(cond_emb)
+        if use_cfg:
+            cfb = jnp.broadcast_to(cf_cond_emb, cond_emb.shape)
+            ob = jnp.stack([ob_c, cross_bias(cfb)], axis=1)  # (B, 2, 19, C)
+        else:
+            ob = ob_c[:, None]
+        # park the bias in row 0 of the (sp=8)-padded K slot; V unused
+        kc = jnp.pad(ob[:, :, :, None, :],
+                     [(0, 0), (0, 0), (0, 0), (0, 7), (0, 0)])
+        vc = kc
     else:
-        kc, vc = kc_c[:, None], vc_c[:, None]
-    sp = _round_up(kc.shape[3], 8)
-    kc = jnp.pad(kc, [(0, 0), (0, 0), (0, 0), (0, sp - kc.shape[3]), (0, 0)])
-    vc = jnp.pad(vc, [(0, 0), (0, 0), (0, 0), (0, sp - vc.shape[3]), (0, 0)])
-    # mask: padded rows get -inf scores via s_valid... true length:
-    s_valid = cond_emb.shape[1]
+        kc_c, vc_c = cross_kv(cond_emb)
+        if use_cfg:
+            cfb = jnp.broadcast_to(cf_cond_emb, cond_emb.shape)
+            kc_u, vc_u = cross_kv(cfb)
+            kc = jnp.stack([kc_c, kc_u], axis=1)   # (B, 2, 19, S, C)
+            vc = jnp.stack([vc_c, vc_u], axis=1)
+        else:
+            kc, vc = kc_c[:, None], vc_c[:, None]
+        sp = _round_up(kc.shape[3], 8)
+        kc = jnp.pad(kc,
+                     [(0, 0), (0, 0), (0, 0), (0, sp - kc.shape[3]), (0, 0)])
+        vc = jnp.pad(vc,
+                     [(0, 0), (0, 0), (0, 0), (0, sp - vc.shape[3]), (0, 0)])
 
     rows = schedule_rows(sched)
     seeds = jax.random.randint(rng, (T,), 0, jnp.iinfo(jnp.int32).max,
@@ -456,14 +533,19 @@ def megakernel_sample_tokens(rng: jax.Array, sched: D3PMSchedule,
     step_fn = functools.partial(
         _megakernel_step, n_layer=n_layer, n_head=n_head, n_embd=n_embd,
         num_classes=K, guidance=guidance_scale, use_cfg=use_cfg,
-        s_valid=s_valid, sample_mode=sample_mode, interpret=interpret)
+        s_valid=s_valid, sample_mode=sample_mode, interpret=interpret,
+        cross_as_bias=cross_as_bias)
+
+    # AdaLN scale/shift tables for every timestep, hoisted out of the scan
+    # (step-invariant given the static timestep sequence): (T, 19, 2, 2C).
+    adaln_all = jax.vmap(
+        lambda t: _adaln_table(packed, t, diffusion_step, n_embd))(timesteps)
 
     def step(tokens, inp):
-        t_scalar, row, seed = inp
-        adaln = _adaln_table(packed, t_scalar, diffusion_step, n_embd)
+        adaln, row, seed = inp
         tokens = step_fn(packed, tokens, adaln, kc, vc, pos, row, seed)
         return tokens, None
 
     tokens, _ = jax.lax.scan(step, tokens0,
-                             (timesteps, rows[timesteps], seeds))
+                             (adaln_all, rows[timesteps], seeds))
     return tokens

@@ -82,7 +82,31 @@ def make_run_dir(cfg: Mapping[str, Any]) -> Path:
     return run_dir
 
 
+def _force_platform(platform: str | None, host_device_count) -> None:
+    """Honor ``trainer.platform`` (the analogue of the reference's
+    ``trainer.accelerator``, configs/trainer/default.yaml:8). Must run
+    before any jax backend initializes; mirrors tests/conftest.py (the
+    axon TPU plugin overrides JAX_PLATFORMS alone)."""
+    if not platform and not host_device_count:
+        return
+    import os
+    if host_device_count:
+        platform = platform or "cpu"
+        flags = os.environ.get("XLA_FLAGS", "")
+        if "xla_force_host_platform_device_count" not in flags:
+            os.environ["XLA_FLAGS"] = (
+                flags + " --xla_force_host_platform_device_count="
+                f"{int(host_device_count)}").strip()
+    os.environ["JAX_PLATFORMS"] = str(platform)
+    os.environ["JAX_PLATFORM_NAME"] = str(platform)
+    import jax
+    jax.config.update("jax_platforms", str(platform))
+
+
 def _setup(cfg: Mapping[str, Any]):
+    trainer_cfg = cfg.get("trainer", {})
+    _force_platform(trainer_cfg.get("platform"),
+                    trainer_cfg.get("host_device_count"))
     seed = cfg.get("seed")
     if seed is not None:
         random.seed(int(seed))
