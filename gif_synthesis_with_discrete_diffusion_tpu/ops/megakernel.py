@@ -188,13 +188,14 @@ def _kernel(sched_ref, seed_ref, tokens_ref, adaln_ref, kc_ref, vc_ref,
     # clamped at -80 so a head far below the row max keeps a positive f32
     # denominator (exp(-80)=1.8e-35 > min normal). Denominators:
     #   * lk small (cross-attn): e @ block-diag-ones broadcasts each head's
-    #     sum back to its lanes in one MXU op -> single division.
-    #   * lk large (self-attn): 16 per-head sums (cheap (L,1) outputs), the
-    #     division FOLDED after the PV matmul onto (L, C) instead of
-    #     (L, H*lk) -- the block-diagonal Vstack keeps heads separable.
-    # Measured on the v5e tunnel (B=32, 19 layers): cross-attn 10.4ms ->
-    # ~1ms/step (was op-dispatch-bound on (512,8) slices), self-attn softmax
-    # 10.9 -> ~6ms/step (drops the p_cat concat + 16-slice max/exp/div).
+    #     sum back to its lanes in one MXU op -> single division. (The old
+    #     16-slice softmax over (L, 8) blocks was op-dispatch-bound:
+    #     10.4ms/step at B=32 on the tunnel v5e.)
+    #   * lk large (self-attn): the straightforward per-head max/exp/div
+    #     slices. Measured A/B on the tunnel chip: per-head 21.4ms/step vs
+    #     global-max+folded-denominator 24.5 and matmul-denominator 28.1 --
+    #     Mosaic fuses the per-head chain better than any "fewer dispatches"
+    #     reformulation, so keep the simple form for the big blocks.
     def stacked_attention(q, k, v, lk, valid_mask):
         # block mask over (H*lk, C): row h*lk+j belongs to head h; column c
         # to head c // d. No transposes (Mosaic can't legalize them here).
@@ -214,17 +215,17 @@ def _kernel(sched_ref, seed_ref, tokens_ref, adaln_ref, kc_ref, vc_ref,
             q.astype(jnp.bfloat16), kstack,
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32) * scale      # (L, H*lk)
-        if valid_mask is not None:
-            # tiled per-head mask: lane j is valid iff (j % lk) < s_valid
-            lane = jax.lax.broadcasted_iota(
-                jnp.int32, (1, n_head * lk), 1)[0] % lk
-            tiled_valid = (lane < s_valid)[None, :]
-            scores = jnp.where(tiled_valid, scores, -jnp.inf)
-        m = jnp.max(scores, axis=1, keepdims=True)           # global row max
-        e = jnp.exp(jnp.maximum(scores - m, -80.0))
-        if valid_mask is not None:
-            e = jnp.where(tiled_valid, e, 0.0)
         if lk <= 64:
+            if valid_mask is not None:
+                # tiled per-head mask: lane j valid iff (j % lk) < s_valid
+                lane = jax.lax.broadcasted_iota(
+                    jnp.int32, (1, n_head * lk), 1)[0] % lk
+                tiled_valid = (lane < s_valid)[None, :]
+                scores = jnp.where(tiled_valid, scores, -jnp.inf)
+            m = jnp.max(scores, axis=1, keepdims=True)       # global row max
+            e = jnp.exp(jnp.maximum(scores - m, -80.0))
+            if valid_mask is not None:
+                e = jnp.where(tiled_valid, e, 0.0)
             # one (H*lk, H*lk) block-diag-ones matmul broadcasts per-head
             # sums to every lane of that head
             r2 = jax.lax.broadcasted_iota(
@@ -240,19 +241,19 @@ def _kernel(sched_ref, seed_ref, tokens_ref, adaln_ref, kc_ref, vc_ref,
                 p.astype(jnp.bfloat16), vstack,
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)          # (L, C)
-        dens = [jnp.sum(e[:, h * lk:(h + 1) * lk], axis=1, keepdims=True)
-                for h in range(n_head)]
-        den = jnp.concatenate(dens, axis=1)                  # (L, H)
-        out = jax.lax.dot_general(
-            e.astype(jnp.bfloat16), vstack,
+        blocks = []
+        for h in range(n_head):
+            blk = scores[:, h * lk:(h + 1) * lk]
+            if valid_mask is not None:
+                blk = jnp.where(valid_mask[None, :], blk, -jnp.inf)
+            m = jnp.max(blk, axis=1, keepdims=True)
+            pb = jnp.exp(blk - m)
+            blocks.append(pb / jnp.sum(pb, axis=1, keepdims=True))
+        p_cat = jnp.concatenate(blocks, axis=1)              # (L, H*lk)
+        return jax.lax.dot_general(
+            p_cat.astype(jnp.bfloat16), vstack,
             dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)              # (L, C) unnorm
-        hcol = jax.lax.broadcasted_iota(
-            jnp.int32, (n_head, n_embd), 1) // d
-        hrow = jax.lax.broadcasted_iota(
-            jnp.int32, (n_head, n_embd), 0)
-        expand = jnp.where(hcol == hrow, 1.0, 0.0)           # (H, C)
-        return out / _mm(den, expand)
+            preferred_element_type=jnp.float32)              # (L, C)
 
     kv_valid_1d = (jax.lax.broadcasted_iota(jnp.int32, (1, sp), 1)
                    < s_valid)[0]
