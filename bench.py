@@ -31,11 +31,20 @@ import time
 import numpy as np
 
 ESTIMATED_PYTORCH_GPU_CLIPS_PER_SEC = 40.0
-# Round-1 measured on the tunnel-virtualized v5e (~34 TFLOP/s bf16,
-# ~60 GB/s effective): reference-path scan 3.3 -> fused attention 6.0 ->
-# megakernel 10.6 clips/sec/chip. Real v5e hardware (819 GB/s) should
-# scale these up substantially; the estimate divisor stays until a
-# measured PyTorch-GPU number exists.
+# Measured on the tunnel-virtualized v5e (~34 TFLOP/s bf16, ~60 GB/s
+# effective):
+#   round 1: reference-path scan 3.3 -> fused attention 6.0 ->
+#            megakernel 10.6 clips/sec/chip
+#   round 2: vectorized cross softmax + single-token cross-attn-as-bias +
+#            AdaLN hoist -> 15.9 clips/sec/chip (21ms/step @ B=32).
+#            A/B'd on-chip and kept the losers out: folded softmax
+#            denominators (24.5ms), bf16 softmax (22.1), exp2 (21.1~tie),
+#            per-head small-K dots (36us/attn, tie), chunked head groups
+#            (23.2). Remaining step time: ~16ms self-attn (5 matmul +
+#            11 softmax VPM traffic), ~5ms QKV/MLP/logits/sampler.
+# Real v5e hardware (197 TFLOP/s bf16, 819 GB/s) should scale these up
+# substantially; the estimate divisor stays until a measured PyTorch-GPU
+# number exists.
 
 SEQ_LEN = 16
 RES = 64

@@ -29,9 +29,35 @@ from ..utils.logging import MetricLogger, build_metric_loggers, get_logger
 
 log = get_logger(__name__)
 
-__all__ = ["Trainer"]
+__all__ = ["Trainer", "shared_jit", "freeze_cfg"]
 
 _NON_ARRAY_KEYS = ("text",)  # host-side only; never shipped to device
+
+# Process-wide cache of jitted step functions keyed by a frozen config
+# signature. jax.jit keys its executable cache on the wrapped callable's
+# identity, so two trainers built from equal configs would otherwise
+# recompile everything (the dominant cost of the CPU-mesh test suite, and
+# of any production process that rebuilds a trainer). flax modules hold
+# dict-valued fields (unhashable), so the cache is keyed by the *config*
+# that built them rather than by static jit arguments.
+_SHARED_JIT: dict = {}
+
+
+def freeze_cfg(obj):
+    """Recursively convert a config fragment into a hashable key."""
+    if isinstance(obj, Mapping):
+        return tuple(sorted((k, freeze_cfg(v)) for k, v in obj.items()))
+    if isinstance(obj, (list, tuple)):
+        return tuple(freeze_cfg(v) for v in obj)
+    return obj
+
+
+def shared_jit(key, factory):
+    """Return (building once) the jitted callable for ``key``."""
+    fn = _SHARED_JIT.get(key)
+    if fn is None:
+        fn = _SHARED_JIT[key] = factory()
+    return fn
 
 
 def _device_batch(batch: Mapping[str, Any], mesh) -> dict:
@@ -54,7 +80,10 @@ class Trainer:
         self.check_val_every_n_epoch = int(
             tcfg.get("check_val_every_n_epoch", 1))
         self.log_every_n_steps = int(tcfg.get("log_every_n_steps", 50))
-        self.render_every_n_epochs = int(tcfg.get("render_every_n_epochs", 5))
+        # null = per-stage default: 5 for stage 1, 10 for stage 2 (reference
+        # text_motion_model.py:127 vs multistage_text_motion_model.py:235)
+        _rev = tcfg.get("render_every_n_epochs")
+        self.render_every_n_epochs = 5 if _rev is None else int(_rev)
         self.seed = int(cfg.get("seed") or 0)
 
         mesh_cfg = tcfg.get("mesh", {}) or {}

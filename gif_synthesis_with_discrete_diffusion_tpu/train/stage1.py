@@ -20,7 +20,7 @@ from flax import struct
 
 from ..data.preprocess import preprocess_clip
 from ..models.vqvae import VQVAE
-from ..train.loop import Trainer
+from ..train.loop import Trainer, freeze_cfg, shared_jit
 from ..train.metrics import weighted_losses
 from ..utils.logging import get_logger
 from ..utils.renderer import render_animation
@@ -94,13 +94,24 @@ class Stage1Trainer(Trainer):
                                 self.resolution)
         self.state = init_vqvae_state(self.model, self.tx, video,
                                       self.next_rng())
-        self._jit_train = jax.jit(functools.partial(
-            _train_step, model=self.model, tx=self.tx,
-            loss_dict=self.loss_dict, resolution=self.resolution),
-            donate_argnums=(0,))
-        self._jit_eval = jax.jit(functools.partial(
-            _eval_step, model=self.model, loss_dict=self.loss_dict,
-            resolution=self.resolution))
+        # share compiled steps across equal-config trainer instances
+        # (train/loop.py shared_jit): jax.jit would otherwise key on the
+        # fresh partial object and recompile per instance
+        # key on the constructed module (flax modules hash by field values),
+        # so config-dict noise (extra keys, defaults spelled out) still
+        # shares the compile
+        sig = (self.model, self.mesh,
+               freeze_cfg(self.model_cfg.get("lr_args", {})),
+               tuple(sorted(self.loss_dict.items())))
+        self._jit_train = shared_jit(("s1_train", sig), lambda: jax.jit(
+            functools.partial(
+                _train_step, model=self.model, tx=self.tx,
+                loss_dict=self.loss_dict, resolution=self.resolution),
+            donate_argnums=(0,)))
+        self._jit_eval = shared_jit(("s1_eval", sig), lambda: jax.jit(
+            functools.partial(
+                _eval_step, model=self.model, loss_dict=self.loss_dict,
+                resolution=self.resolution)))
         n_params = sum(x.size for x in jax.tree.leaves(self.state.params))
         log.info("VQ-VAE params: %.2fM", n_params / 1e6)
 

@@ -31,7 +31,7 @@ from ..models.clip_text import make_tokenizer
 from ..models.discrete_diffusion import (DiscreteDiffusionModel,
                                          make_discrete_diffusion)
 from ..models.vqvae import VQVAE
-from ..train.loop import Trainer
+from ..train.loop import Trainer, freeze_cfg, shared_jit
 from ..train.metrics import weighted_losses
 from ..train.stage1 import make_vqvae
 from ..utils.checkpoint import CheckpointManager
@@ -70,6 +70,11 @@ def load_stage1_checkpoint(ckpt_dir: str, model: VQVAE, example_video) -> dict:
 class Stage2Trainer(Trainer):
     def __init__(self, cfg, datamodule, run_dir, mesh=None):
         super().__init__(cfg, datamodule, run_dir, mesh)
+        # reference stage-2 renders every 10 val epochs vs stage-1's 5
+        # (multistage_text_motion_model.py:235 vs text_motion_model.py:127);
+        # an explicit trainer.render_every_n_epochs still wins
+        if (cfg.get("trainer", {}) or {}).get("render_every_n_epochs") is None:
+            self.render_every_n_epochs = 10
         self.model_cfg = cfg.get("model", {})
         self.loss_dict = dict(self.model_cfg.get(
             "generator_losses", {}).get("loss_dict", {"l_dummy": 1.0}))
@@ -136,23 +141,38 @@ class Stage2Trainer(Trainer):
             ae_codebook=ae_vars["codebook"],
             opt_state=self.tx.init(gen_vars["params"]))
 
-        self._jit_train = jax.jit(functools.partial(
-            _train_step, autoencoder=self.autoencoder,
-            generator=self.generator, tx=self.tx, loss_dict=self.loss_dict,
-            resolution=self.resolution), donate_argnums=(0,))
-        self._jit_eval = jax.jit(functools.partial(
-            _eval_step, autoencoder=self.autoencoder,
-            generator=self.generator, loss_dict=self.loss_dict,
-            resolution=self.resolution))
+        # share compiled steps across equal-config trainer instances
+        # (train/loop.py shared_jit): jax.jit would otherwise key on the
+        # fresh partial object and recompile per instance
+        # Only the keys that shape the compiled computation: checkpoint_paths
+        # merely selects WEIGHTS, do_evaluation/stage drive host-side logic.
+        sig_cfg = {k: self.model_cfg.get(k) for k in
+                   ("generator", "autoencoder", "generator_losses",
+                    "lr_args")}
+        sig = (freeze_cfg(sig_cfg), self.mesh,
+               tuple(sorted(self.loss_dict.items())))
+        self._jit_train = shared_jit(("s2_train", sig), lambda: jax.jit(
+            functools.partial(
+                _train_step, autoencoder=self.autoencoder,
+                generator=self.generator, tx=self.tx,
+                loss_dict=self.loss_dict, resolution=self.resolution),
+            donate_argnums=(0,)))
+        self._jit_eval = shared_jit(("s2_eval", sig), lambda: jax.jit(
+            functools.partial(
+                _eval_step, autoencoder=self.autoencoder,
+                generator=self.generator, loss_dict=self.loss_dict,
+                resolution=self.resolution)))
         sampler = str(self.cfg.get("trainer", {}).get("sampler", "auto"))
         if sampler == "auto":
             sampler = ("megakernel"
                        if jax.default_backend() in ("tpu", "axon")
                        else "model")
-        self._jit_sample = jax.jit(functools.partial(
-            _sample_step, autoencoder=self.autoencoder,
-            generator=self.generator, resolution=self.resolution,
-            latent_shape=self.latent_shape, sampler=sampler))
+        self._jit_sample = shared_jit(
+            ("s2_sample", sig, sampler), lambda: jax.jit(
+                functools.partial(
+                    _sample_step, autoencoder=self.autoencoder,
+                    generator=self.generator, resolution=self.resolution,
+                    latent_shape=self.latent_shape, sampler=sampler)))
         n_params = sum(x.size for x in jax.tree.leaves(self.state.gen_params))
         log.info("D3PM generator params: %.2fM", n_params / 1e6)
 

@@ -1,4 +1,5 @@
 """FVD evaluator: Fréchet distance on synthetic gaussians + torch parity."""
+import pytest
 import numpy as np
 import torch
 
@@ -60,6 +61,7 @@ def test_prepare_fvd_clip_temporal_repeat():
     assert prepare_fvd_clip(v16).shape == (1, 16, 224, 224, 3)
 
 
+@pytest.mark.slow  # full random-I3D forward at 224px: ~2 min on the CPU mesh
 def test_fvd_evaluator_end_to_end_random_i3d():
     rng = np.random.default_rng(2)
     ev = FVDEvaluator(i3d_params=None, num_classes=16)

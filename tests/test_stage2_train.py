@@ -147,6 +147,23 @@ def test_fvd_best_checkpoint_tracks_minimum(tmp_path):
     assert best_step == min_step
 
 
+def test_stage2_render_cadence_defaults(tmp_path):
+    """Reference renders every 10 val epochs in stage 2 vs 5 in stage 1
+    (multistage_text_motion_model.py:235, text_motion_model.py:127)."""
+    t = Stage2Trainer(_cfg(), _dm(), tmp_path / "a")
+    assert t.render_every_n_epochs == 10
+    cfg = _cfg()
+    cfg["trainer"]["render_every_n_epochs"] = 3   # explicit override wins
+    t2 = Stage2Trainer(cfg, _dm(), tmp_path / "b")
+    assert t2.render_every_n_epochs == 3
+    s1cfg = {"seed": 0, "trainer": {"max_epochs": 1, "mesh": {"data": None}},
+             "model": {"generator": AE,
+                       "losses": {"loss_dict": {"l_dummy": 1.0}},
+                       "lr_args": {"gen_lr": 4e-4}}}
+    s1 = Stage1Trainer(s1cfg, _dm(), tmp_path / "c")
+    assert s1.render_every_n_epochs == 5
+
+
 def test_stage2_frozen_autoencoder_unchanged(tmp_path):
     from gif_synthesis_with_discrete_diffusion_tpu.train.loop import (
         _device_batch)
