@@ -204,6 +204,120 @@ def bench_train_step() -> dict:
             "vs_baseline": 0.0}
 
 
+def bench_train_step2() -> dict:
+    """BASELINE config 4: text-conditioned stage-2 training step (batch 16,
+    reference ucf-ddiff/msrvtt job scale: frozen VQ-VAE encode + D3PM
+    importance-sampled loss + Adam)."""
+    import tempfile
+
+    import jax
+    from gif_synthesis_with_discrete_diffusion_tpu.data.synthetic import (
+        SyntheticVideoDataModule)
+    from gif_synthesis_with_discrete_diffusion_tpu.train.loop import (
+        _device_batch)
+    from gif_synthesis_with_discrete_diffusion_tpu.train.stage2 import (
+        Stage2Trainer)
+
+    bs = 16
+    cfg = {"seed": 0, "trainer": {"max_epochs": 1, "mesh": {}},
+           "model": {
+               "generator": {
+                   "textencoder": {"mode": "label", "n_classes": 101,
+                                   "dim": 512},
+                   "diffusion_model": {
+                       "diffusion_step": DIFFUSION_STEPS,
+                       "transformer": {"n_layer": 19, "n_embd": 64,
+                                       "n_head": 16, "condition_dim": 512},
+                   },
+               },
+               "autoencoder": {"embedding_dim": 128, "n_codes": N_CODES,
+                               "n_hiddens": 256, "n_res_layers": 2,
+                               "downsample": list(DOWNSAMPLE),
+                               "sequence_length": SEQ_LEN,
+                               "resolution": RES},
+               "generator_losses": {"loss_dict": {"l_dummy": 1.0}},
+               "lr_args": {"gen_lr": 1e-4}}}
+    dm = SyntheticVideoDataModule(batch_size=bs, sequence_length=SEQ_LEN,
+                                  resolution=RES, num_train=bs, num_val=bs)
+    with tempfile.TemporaryDirectory() as rd:
+        tr = Stage2Trainer(cfg, dm, rd)
+        batch = tr._prepare_batch(next(iter(dm.train_batches(0))))
+        tr.build(batch)
+        db = _device_batch({k: v for k, v in batch.items() if k != "text"},
+                           tr.mesh)
+        state, values = tr.train_step(tr.state, db, jax.random.key(0))
+        float(values["total"])
+        times = []
+        for i in range(10):
+            t0 = time.perf_counter()
+            state, values = tr.train_step(state, db, jax.random.key(i))
+            float(values["total"])
+            times.append(time.perf_counter() - t0)
+        dt = float(np.median(times))
+    return {"metric": "stage-2 D3PM train steps/sec (batch 16, label cond)",
+            "value": round(1.0 / dt, 3), "unit": "steps/sec/chip",
+            "vs_baseline": 0.0}
+
+
+def bench_fvd_pipeline() -> dict:
+    """BASELINE config 5: full pipeline — 100-step sampling -> VQ decode ->
+    I3D embeddings at 224px -> Fréchet distance. Random-init I3D when no
+    pretrained checkpoint is present (relative timing, same compute)."""
+    import jax
+    import jax.numpy as jnp
+    from gif_synthesis_with_discrete_diffusion_tpu.eval.evaluator import (
+        FVDEvaluator)
+    from gif_synthesis_with_discrete_diffusion_tpu.models.d3pm import (
+        make_schedule)
+    from gif_synthesis_with_discrete_diffusion_tpu.models.vqvae import VQVAE
+    from gif_synthesis_with_discrete_diffusion_tpu.ops.megakernel import (
+        megakernel_sample_tokens)
+
+    ae, d3pm, latent = _build_models()
+    x = jnp.zeros((1, SEQ_LEN, RES, RES, 3), jnp.float32)
+    ae_vars = ae.init({"params": jax.random.key(0),
+                       "codebook": jax.random.key(1)},
+                      {"video": x}, train=True)
+    tokens0 = jnp.zeros((1, d3pm.content_seq_len), jnp.int32)
+    cond1 = jnp.zeros((1, 1, 512), jnp.float32)
+    g_vars = d3pm.init({"params": jax.random.key(2),
+                        "diffusion": jax.random.key(3)},
+                       tokens0, cond1, train=True)
+    sched = make_schedule(DIFFUSION_STEPS, N_CODES + 1)
+    variables = {"params": ae_vars["params"],
+                 "batch_stats": ae_vars.get("batch_stats", {}),
+                 "codebook": ae_vars["codebook"]}
+
+    def sample_videos(rng, cond):
+        tokens = megakernel_sample_tokens(
+            rng, sched, g_vars["params"]["transformer"], cond,
+            jnp.zeros_like(cond), BATCH, d3pm.content_seq_len,
+            spatial_size=d3pm.spatial_size, n_layer=d3pm.n_layer,
+            n_head=d3pm.n_head, n_embd=d3pm.n_embd,
+            diffusion_step=DIFFUSION_STEPS, guidance_scale=2.0)
+        grid = tokens.reshape(BATCH, *latent)
+        return ae.apply(variables, grid, method=VQVAE.decode)
+
+    fn = jax.jit(sample_videos)
+    cond = jnp.zeros((BATCH, 1, 512), jnp.float32)
+    gt = jax.random.normal(jax.random.key(7),
+                           (BATCH, SEQ_LEN, RES, RES, 3)) * 0.3
+    ev = FVDEvaluator(i3d_params=None)
+    # warmup/compile both stages
+    v = fn(jax.random.key(10), cond)
+    ev.push_vals(gt, v)
+    ev.reset()
+    t0 = time.perf_counter()
+    v = fn(jax.random.key(11), cond)
+    ev.push_vals(gt, v)
+    metrics = ev.evaluate_metrics()
+    dt = time.perf_counter() - t0
+    assert np.isfinite(metrics["fvd"])
+    return {"metric": "full pipeline clips/sec (sample+decode+I3D+FVD)",
+            "value": round(BATCH / dt, 3), "unit": "clips/sec/chip",
+            "vs_baseline": 0.0}
+
+
 def _backend_watchdog(timeout_s: float = 180.0) -> None:
     """Fail fast (instead of hanging forever) if the TPU backend is wedged —
     the axon tunnel can enter a state where backend init never returns."""
@@ -234,11 +348,14 @@ def _backend_watchdog(timeout_s: float = 180.0) -> None:
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--metric", default="sampling",
-                        choices=["sampling", "vqvae", "train_step"])
+                        choices=["sampling", "vqvae", "train_step",
+                                 "train_step2", "fvd_pipeline"])
     args = parser.parse_args()
     _backend_watchdog()
     fn = {"sampling": bench_sampling, "vqvae": bench_vqvae,
-          "train_step": bench_train_step}[args.metric]
+          "train_step": bench_train_step,
+          "train_step2": bench_train_step2,
+          "fvd_pipeline": bench_fvd_pipeline}[args.metric]
     try:
         result = fn()
     except Exception as exc:  # still emit one parseable JSON line

@@ -465,7 +465,8 @@ def megakernel_sample_tokens(rng: jax.Array, sched: D3PMSchedule,
                              guidance_scale: float = 2.0,
                              weights_dtype=jnp.bfloat16,
                              sample_mode: bool = True,
-                             interpret: bool = False) -> jax.Array:
+                             interpret: bool = False,
+                             _force_general_cross: bool = False) -> jax.Array:
     """Full reverse process with the megakernel. params: flax denoiser
     params (DenoiserTransformer tree)."""
     K = sched.num_classes
@@ -480,7 +481,9 @@ def megakernel_sample_tokens(rng: jax.Array, sched: D3PMSchedule,
     # cross-attention K/V per layer per branch (condition-only)
     use_cfg = abs(guidance_scale - 1.0) >= 1e-3
     s_valid = cond_emb.shape[1]
-    cross_as_bias = s_valid == 1
+    # _force_general_cross: testing hook so the bias fast path can be
+    # checked for equivalence against the full attention path
+    cross_as_bias = s_valid == 1 and not _force_general_cross
 
     def cross_kv(c):
         k = jnp.einsum("bsd,lde->blse", c.astype(jnp.float32),

@@ -140,7 +140,11 @@ def fused_sample_step(logits2: jax.Array, tokens: jax.Array,
     b, L = tokens.shape
     use_cfg = logits2.shape[0] == 2 * b
     k_valid = logits2.shape[1]
-    kp = _round_up(k_valid, 8)
+    # pad the class axis to the POSTERIOR row count (round_up(K, 8), not
+    # round_up(K-1, 8)): they differ when K ≡ 1 (mod 8) — e.g. the
+    # production n_codes+1 = 2049 — and the kernel writes (kp, lt) blocks
+    # into the posterior output
+    kp = _round_up(num_classes, 8)
     lp = _round_up(L, _L_TILE)
 
     def pad3(x):

@@ -94,6 +94,25 @@ def test_megakernel_step_argmax_matches_flax(setup, t_scalar):
                                   err_msg=f"t={t_scalar}")
 
 
+def test_cross_bias_fast_path_matches_general(setup):
+    """Single-token conditions take the cross-attn-as-bias fast path
+    (megakernel.py: softmax over one key is identically 1); it must produce
+    the same tokens as the general attention path."""
+    sched, model, params = setup
+    rng = np.random.default_rng(5)
+    cond = jnp.asarray(rng.standard_normal((B, 1, COND_DIM)), jnp.float32)
+    cf = jnp.asarray(rng.standard_normal((1, 1, COND_DIM)), jnp.float32)
+    kw = dict(spatial_size=SPATIAL, n_layer=N_LAYER, n_head=N_HEAD,
+              n_embd=N_EMBD, diffusion_step=T, guidance_scale=2.0,
+              weights_dtype=jnp.float32, sample_mode=False, interpret=True)
+    fast = mk.megakernel_sample_tokens(
+        jax.random.key(3), sched, params, cond, cf, B, L, **kw)
+    general = mk.megakernel_sample_tokens(
+        jax.random.key(3), sched, params, cond, cf, B, L,
+        _force_general_cross=True, **kw)
+    np.testing.assert_array_equal(np.asarray(fast), np.asarray(general))
+
+
 def test_megakernel_full_loop_valid(setup):
     sched, model, params = setup
     rng = np.random.default_rng(2)

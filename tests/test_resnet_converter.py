@@ -95,6 +95,7 @@ def twins():
     return tm, ResNet50(), variables
 
 
+@pytest.mark.slow  # 224px torch+flax forwards: ~25s on 1 core
 def test_resnet50_logits_parity(twins):
     tm, jm, variables = twins
     rng = np.random.default_rng(0)
@@ -127,6 +128,7 @@ def test_preprocess_imagenet_v2_shapes():
     assert abs(out.mean()) < 2.0
 
 
+@pytest.mark.slow  # full-res ResNet50 feature path: ~50s
 def test_frame_features_fn_real_shape():
     from gif_synthesis_with_discrete_diffusion_tpu.data.video_dataset import (
         make_frame_features_fn)

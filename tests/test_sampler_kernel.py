@@ -58,4 +58,26 @@ def test_kernel_argmax_tokens_match(sched):
 def test_schedule_rows_shape(sched):
     rows = schedule_rows(sched)
     assert rows.shape == (T, 10)
+
+
+def test_kernel_posterior_k_mod8_is_1():
+    """Regression: K ≡ 1 (mod 8) — e.g. the production n_codes+1 = 2049 —
+    made the logits padding (round_up(K-1, 8)) one tile SHORTER than the
+    posterior output block (round_up(K, 8)), a trace-time shape error."""
+    k = 17
+    sched17 = d3pm.make_schedule(T, k)
+    rng = np.random.default_rng(3)
+    logits2 = jnp.asarray(
+        rng.standard_normal((2 * B, k - 1, L)).astype(np.float32))
+    tokens = jnp.asarray(rng.integers(0, k, (B, L)), jnp.int32)
+    rows = schedule_rows(sched17)
+    new_tok, post = fused_sample_step(
+        logits2, tokens, rows[2], jnp.int32(0), guidance=2.0,
+        num_classes=k, sample=False, return_posterior=True, interpret=True)
+    r = _guided_log_x_recon(logits2, 2.0, B)
+    want = _analytic_posterior(sched17, r, tokens, jnp.asarray(2))
+    np.testing.assert_allclose(np.asarray(post), np.asarray(want),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_array_equal(np.asarray(new_tok),
+                                  np.asarray(jnp.argmax(want, axis=1)))
     assert np.isfinite(np.asarray(rows[1:, :2])).all()

@@ -76,6 +76,7 @@ def test_stage2_label_conditioning(tmp_path):
     assert any("label_emb" in n for n in names)
 
 
+@pytest.mark.slow  # (B, 2048) real-shape features: ~35s compile
 def test_stage2_frame_conditioning_real_shape(tmp_path):
     """Frame conditioning over (B, 2048) start-frame features — the shape
     the reference's ResNet50 path attaches (ucf101_dataset.py:45-47)."""
