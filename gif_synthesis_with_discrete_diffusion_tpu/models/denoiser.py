@@ -55,6 +55,7 @@ class AdaLayerNorm(nn.Module):
     (transformer_utils.py:138-159, 'adalayernorm_abs' variant)."""
     n_embd: int
     diffusion_step: int
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jax.Array, timestep: jax.Array) -> jax.Array:
@@ -62,16 +63,16 @@ class AdaLayerNorm(nn.Module):
         emb = nn.Dense(self.n_embd * 2,
                        kernel_init=nn.initializers.normal(stddev=0.02),
                        bias_init=nn.initializers.zeros,
-                       name="linear")(jax.nn.silu(emb))
+                       name="linear", dtype=self.dtype)(jax.nn.silu(emb))
         emb = emb[:, None, :]
         scale, shift = jnp.split(emb, 2, axis=2)
         x = nn.LayerNorm(use_scale=False, use_bias=False)(x)
         return x * (1 + scale) + shift
 
 
-def _dense(n, name):
+def _dense(n, name, dtype=jnp.float32):
     return nn.Dense(n, kernel_init=nn.initializers.normal(stddev=0.02),
-                    bias_init=nn.initializers.zeros, name=name)
+                    bias_init=nn.initializers.zeros, name=name, dtype=dtype)
 
 
 class SelfAttention(nn.Module):
@@ -81,15 +82,16 @@ class SelfAttention(nn.Module):
     n_head: int
     attn_pdrop: float = 0.0
     resid_pdrop: float = 0.0
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jax.Array, *, deterministic: bool,
                  fused: bool = False) -> jax.Array:
         B, T, C = x.shape
         hs = C // self.n_head
-        k = _dense(C, "key")(x)
-        q = _dense(C, "query")(x)
-        v = _dense(C, "value")(x)
+        k = _dense(C, "key", self.dtype)(x)
+        q = _dense(C, "query", self.dtype)(x)
+        v = _dense(C, "value", self.dtype)(x)
         if fused and (deterministic or self.attn_pdrop == 0.0):
             # VMEM-resident Pallas attention (no (B,H,L,L) HBM tensors)
             y = fused_mha(q, k, v, n_head=self.n_head)
@@ -103,7 +105,7 @@ class SelfAttention(nn.Module):
             att = nn.Dropout(self.attn_pdrop)(att,
                                               deterministic=deterministic)
             y = jnp.einsum("bhqk,bkhd->bqhd", att, vh).reshape(B, T, C)
-        y = _dense(C, "proj")(y)
+        y = _dense(C, "proj", self.dtype)(y)
         return nn.Dropout(self.resid_pdrop)(y, deterministic=deterministic)
 
 
@@ -114,6 +116,7 @@ class CrossAttention(nn.Module):
     n_head: int
     attn_pdrop: float = 0.0
     resid_pdrop: float = 0.0
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jax.Array, cond: jax.Array, *,
@@ -121,9 +124,9 @@ class CrossAttention(nn.Module):
         B, T, C = x.shape
         S = cond.shape[1]
         hs = C // self.n_head
-        k = _dense(C, "key")(cond)
-        v = _dense(C, "value")(cond)
-        q = _dense(C, "query")(x)
+        k = _dense(C, "key", self.dtype)(cond)
+        v = _dense(C, "value", self.dtype)(cond)
+        q = _dense(C, "query", self.dtype)(x)
         if fused and (deterministic or self.attn_pdrop == 0.0):
             y = fused_mha(q, k, v, n_head=self.n_head)
         else:
@@ -136,7 +139,7 @@ class CrossAttention(nn.Module):
             att = nn.Dropout(self.attn_pdrop)(att,
                                               deterministic=deterministic)
             y = jnp.einsum("bhqk,bkhd->bqhd", att, vh).reshape(B, T, C)
-        y = _dense(C, "proj")(y)
+        y = _dense(C, "proj", self.dtype)(y)
         return nn.Dropout(self.resid_pdrop)(y, deterministic=deterministic)
 
 
@@ -149,26 +152,30 @@ class Block(nn.Module):
     attn_pdrop: float = 0.0
     resid_pdrop: float = 0.0
     activate: str = "GELU2"
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jax.Array, cond: jax.Array, timestep: jax.Array,
                  deterministic: bool = True, fused: bool = False
                  ) -> jax.Array:
         a = SelfAttention(self.n_embd, self.n_head, self.attn_pdrop,
-                          self.resid_pdrop, name="attn1")(
-            AdaLayerNorm(self.n_embd, self.diffusion_step, name="ln1")(
+                          self.resid_pdrop, dtype=self.dtype, name="attn1")(
+            AdaLayerNorm(self.n_embd, self.diffusion_step, dtype=self.dtype,
+                         name="ln1")(
                 x, timestep), deterministic=deterministic, fused=fused)
         x = x + a
         a = CrossAttention(self.n_embd, self.n_head, self.attn_pdrop,
-                           self.resid_pdrop, name="attn2")(
-            AdaLayerNorm(self.n_embd, self.diffusion_step, name="ln1_1")(
+                           self.resid_pdrop, dtype=self.dtype, name="attn2")(
+            AdaLayerNorm(self.n_embd, self.diffusion_step, dtype=self.dtype,
+                         name="ln1_1")(
                 x, timestep), cond, deterministic=deterministic, fused=fused)
         x = x + a
         act = gelu2 if self.activate == "GELU2" else jax.nn.gelu
         h = nn.LayerNorm(name="ln2")(x)
-        h = _dense(self.mlp_hidden_times * self.n_embd, "mlp_fc")(h)
+        h = _dense(self.mlp_hidden_times * self.n_embd, "mlp_fc",
+                   self.dtype)(h)
         h = act(h)
-        h = _dense(self.n_embd, "mlp_proj")(h)
+        h = _dense(self.n_embd, "mlp_proj", self.dtype)(h)
         h = nn.Dropout(self.resid_pdrop)(h, deterministic=deterministic)
         return x + h
 
@@ -193,6 +200,10 @@ class DenoiserTransformer(nn.Module):
     mlp_hidden_times: int = 4
     block_activate: str = "GELU2"
     remat: bool = False
+    # compute dtype for the matmul-heavy ops (bf16 halves HBM traffic and
+    # doubles MXU rate in TRAINING, where the einsum attention materializes
+    # (B,H,L,L) tensors); params stay f32, attention softmax stays f32,
+    # residual stream promotes back to f32 at each add
     dtype: jnp.dtype = jnp.float32
 
     @property
@@ -221,7 +232,7 @@ class DenoiserTransformer(nn.Module):
             emb = block_cls(self.n_embd, self.n_head, self.diffusion_step,
                             self.mlp_hidden_times, self.attn_pdrop,
                             self.resid_pdrop, self.block_activate,
-                            name=f"block{i}")(
+                            self.dtype, name=f"block{i}")(
                 emb, cond, t, deterministic, fused_attention)
         h = nn.LayerNorm(name="ln_out")(emb)
         logits = _dense(self.num_embed, "to_logits")(h)  # out_cls = K-1

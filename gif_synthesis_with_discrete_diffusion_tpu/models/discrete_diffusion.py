@@ -53,6 +53,7 @@ class D3PM(nn.Module):
     attn_pdrop: float = 0.0
     resid_pdrop: float = 0.0
     remat: bool = False
+    transformer_dtype: Any = jnp.float32   # bf16 compute for training
 
     @property
     def num_classes(self) -> int:
@@ -70,7 +71,8 @@ class D3PM(nn.Module):
             diffusion_step=self.diffusion_step,
             attn_pdrop=self.attn_pdrop, resid_pdrop=self.resid_pdrop,
             mlp_hidden_times=self.mlp_hidden_times,
-            block_activate=self.block_activate, remat=self.remat)
+            block_activate=self.block_activate, remat=self.remat,
+            dtype=self.transformer_dtype)
         self._lt_history = self.variable(
             "diffusion", "lt_history",
             lambda: jnp.zeros((self.diffusion_step,), jnp.float32))
@@ -227,7 +229,9 @@ def make_discrete_diffusion(model_cfg: Mapping[str, Any], num_embed: int,
     spatial = (tcfg.get("content_spatial_size")
                or dalle.get("spatial_size") or [h * t, w])
     d3pm_cfg = dict(
-        num_embed=num_embed,
+        # dalle.num_embed (ref dalle_mask_image_embedding.yaml:5, msrvtt job
+        # overrides it to 4096) wins over the autoencoder-derived vocab
+        num_embed=int(dalle.get("num_embed") or num_embed),
         content_seq_len=seq_len,
         spatial_size=tuple(spatial),
         diffusion_step=int(dcfg.get("diffusion_step", 100)),
@@ -247,6 +251,9 @@ def make_discrete_diffusion(model_cfg: Mapping[str, Any], num_embed: int,
         attn_pdrop=float(tcfg.get("attn_pdrop", 0.0)),
         resid_pdrop=float(tcfg.get("resid_pdrop", 0.0)),
         remat=bool(tcfg.get("checkpoint", False)),
+        transformer_dtype=(jnp.bfloat16
+                           if str(tcfg.get("dtype", "float32"))
+                           in ("bfloat16", "bf16") else jnp.float32),
     )
     return DiscreteDiffusionModel(d3pm_cfg=d3pm_cfg,
                                   conditioner_cfg=g.get("textencoder"))
