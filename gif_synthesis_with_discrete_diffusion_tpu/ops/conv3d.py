@@ -56,9 +56,14 @@ def same_pad_conv3d(x: jax.Array, w: jax.Array, stride=1,
     """x: (B, D, H, W, Cin); w: (kD, kH, kW, Cin, Cout)."""
     st = _triple(stride)
     pads = same_pad(w.shape[:3], st)
+    # preferred_element_type must MATCH the operand dtype in bf16 mode: with
+    # f32-preferred + bf16 operands the conv VJP pairs the f32 cotangent
+    # with bf16 weights and lax rejects the mixed dtypes. The MXU
+    # accumulates f32 internally either way, and the result is cast to
+    # x.dtype below regardless.
     y = jax.lax.conv_general_dilated(
         x, w, window_strides=st, padding=pads, dimension_numbers=_DN,
-        preferred_element_type=jnp.float32)
+        preferred_element_type=x.dtype)
     y = y.astype(x.dtype)
     if bias is not None:
         y = y + bias
@@ -88,7 +93,7 @@ def same_pad_conv_transpose3d(x: jax.Array, w: jax.Array, stride=1,
     y = jax.lax.conv_general_dilated(
         x, w_flipped, window_strides=(1, 1, 1), padding=pads,
         lhs_dilation=st, dimension_numbers=_DN,
-        preferred_element_type=jnp.float32)
+        preferred_element_type=x.dtype)  # must match operands (VJP; above)
     y = y.astype(x.dtype)
     if bias is not None:
         y = y + bias

@@ -210,3 +210,29 @@ def test_codebook_data_dependent_init():
     # after data-dependent init, embeddings derive from input rows (not the
     # N(0,1) init): EMA of ema_sum starts from selected input rows
     assert np.isfinite(np.asarray(got["embeddings"])).all()
+
+
+def test_vqvae_bf16_train_grad():
+    """Regression: dtype=bfloat16 VQ-VAE must be differentiable — with
+    f32-preferred conv outputs the conv VJP paired an f32 cotangent with
+    bf16 weights and lax.conv_general_dilated raised a dtype error
+    (ops/conv3d.py preferred_element_type now tracks the compute dtype)."""
+    ae = VQVAE(embedding_dim=16, n_codes=32, n_hiddens=16, n_res_layers=2,
+               downsample=(1, 4, 4), sequence_length=2, resolution=16,
+               kernel_mode="xla", dtype=jnp.bfloat16)
+    x = jax.random.normal(jax.random.key(4), (2, 2, 16, 16, 3))
+    variables = ae.init({"params": jax.random.key(0),
+                         "codebook": jax.random.key(1)},
+                        {"video": x}, train=True)
+
+    def loss(params):
+        out, _ = ae.apply(
+            {**variables, "params": params}, {"video": x}, train=True,
+            rngs={"codebook": jax.random.key(2)},
+            mutable=["batch_stats", "codebook"])
+        return out["losses"]["recon_loss"] + out["losses"]["commitment_loss"]
+
+    grads = jax.grad(loss)(variables["params"])
+    flat = jax.tree.leaves(grads)
+    assert all(np.isfinite(np.asarray(g)).all() for g in flat)
+    assert any(float(jnp.abs(g).max()) > 0 for g in flat)
