@@ -170,27 +170,52 @@ def q_pred(sched: D3PMSchedule, log_x_start: jax.Array, t: jax.Array
 def q_posterior(sched: D3PMSchedule, log_x_start: jax.Array,
                 log_x_t: jax.Array, t: jax.Array) -> jax.Array:
     """log q(x_{t-1} | x_t, x_0-distribution), with the reference's explicit
-    mask-token row corrections (dt.py:251-283). log_x_t must be log-onehot."""
+    mask-token row corrections (dt.py:251-283). log_x_t must be log-onehot.
+
+    Because x_t IS a one-hot, the reference's q_pred(log_x_t)/
+    q_pred_one_timestep(log_x_t) tensors take only two values per (b, l)
+    — one on the x_t row (log-onehot entry 0) and one everywhere else
+    (the log(1e-30) floor) — so they are built here from per-(b, l) scalar
+    ``log_add_exp``s broadcast by a ``where`` on the class index instead of
+    full (B, K, L) log_add_exp passes. Element-wise arithmetic is identical
+    (same log_add_exp on the same inputs), so the result is bit-exact vs
+    the dense construction; it just removes ~7 (B, K, L) memory passes
+    (~half the train-step q_posterior traffic at K=2049).
+    """
     b, _, L = log_x_start.shape
-    onehot_x_t = log_onehot_to_index(log_x_t)
-    mask = (onehot_x_t == sched.num_classes - 1)[:, None, :]  # (B,1,L)
-    log_one_vector = jnp.zeros((b, 1, 1), log_x_t.dtype)
-    log_zero_vector = jnp.full((b, 1, L), jnp.log(1.0e-30), log_x_t.dtype)
+    K = sched.num_classes
+    x_t = log_onehot_to_index(log_x_t)                       # (B, L)
+    mask_bl = x_t == K - 1
+    mask = mask_bl[:, None, :]                               # (B, 1, L)
+    F = jnp.float32(jnp.log(1.0e-30))
+    log_zero_vector = jnp.full((b, 1, L), F, log_x_t.dtype)
 
-    log_qt = q_pred(sched, log_x_t, t)[:, :-1, :]            # q(xt|x0)
-    log_cumprod_ct = _extract(sched.log_cumprod_ct, t)
-    ct_cumprod_vector = jnp.broadcast_to(
-        log_cumprod_ct, (b, sched.num_classes - 1, L))
-    log_qt = jnp.where(mask, ct_cumprod_vector, log_qt)
+    def row(arr):            # schedule scalar at t -> (B, L) broadcast
+        return arr[t][:, None]
 
-    log_qt_one_timestep = q_pred_one_timestep(sched, log_x_t, t)
-    log_qt_one_timestep = jnp.concatenate(
-        [log_qt_one_timestep[:, :-1, :], log_zero_vector], axis=1)
-    log_ct = _extract(sched.log_ct, t)
-    ct_vector = jnp.broadcast_to(log_ct, (b, sched.num_classes - 1, L))
-    ct_vector = jnp.concatenate(
-        [ct_vector, jnp.broadcast_to(log_one_vector, (b, 1, L))], axis=1)
-    log_qt_one_timestep = jnp.where(mask, ct_vector, log_qt_one_timestep)
+    kk = jnp.arange(K - 1, dtype=jnp.int32)[None, :, None]   # (1, K-1, 1)
+    is_xt = kk == x_t[:, None, :]                            # (B, K-1, L)
+
+    # q_pred(onehot(x_t), t)[:, :-1]: log_add_exp(lxt_k + A, B) with
+    # lxt_k in {0, F}; then the reference's mask-row correction -> C
+    A, B = row(sched.log_cumprod_at), row(sched.log_cumprod_bt)
+    C = row(sched.log_cumprod_ct)
+    sv = log_add_exp(A, B)                                   # k == x_t
+    snv = log_add_exp(F + A, B)                              # k != x_t
+    qt_val = jnp.where(mask_bl, C, 0.0)                      # placeholder
+    log_qt = jnp.where(mask, qt_val[:, None, :],
+                       jnp.where(is_xt, sv[:, None, :], snv[:, None, :]))
+
+    # q_pred_one_timestep(onehot(x_t), t) rows < K-1, then last row ->
+    # log-zero, then mask correction -> c (rows < K-1) / 0 (last row)
+    a_, b_ = row(sched.log_at), row(sched.log_bt)
+    c_ = row(sched.log_ct)
+    tv = log_add_exp(a_, b_)
+    tnv = log_add_exp(F + a_, b_)
+    lqots = jnp.where(mask, c_[:, None, :],
+                      jnp.where(is_xt, tv[:, None, :], tnv[:, None, :]))
+    last = jnp.where(mask, jnp.zeros_like(log_zero_vector), log_zero_vector)
+    log_qt_one_timestep = jnp.concatenate([lqots, last], axis=1)
 
     q = log_x_start[:, :-1, :] - log_qt
     q = jnp.concatenate([q, log_zero_vector], axis=1)
@@ -213,6 +238,31 @@ def q_sample(rng: jax.Array, sched: D3PMSchedule, log_x_start: jax.Array,
              t: jax.Array) -> jax.Array:
     return log_sample_categorical(
         rng, q_pred(sched, log_x_start, t), sched.num_classes)
+
+
+def q_sample_from_indices(rng: jax.Array, sched: D3PMSchedule,
+                          x_start: jax.Array, t: jax.Array) -> jax.Array:
+    """``q_sample`` for INDEX x_start: q_pred of a one-hot takes only three
+    values per (b, l) — the x_start row, the other non-mask rows (floor
+    contribution), and the mask row — so build the logits from scalar
+    log_add_exps instead of (B, K, L) passes. Same uniform-draw shape and
+    element-wise arithmetic as the dense path -> bit-identical samples."""
+    K = sched.num_classes
+    F = jnp.float32(jnp.log(1.0e-30))
+
+    def row(arr):
+        return arr[t][:, None]
+
+    A, B = row(sched.log_cumprod_at), row(sched.log_cumprod_bt)
+    C = row(sched.log_cumprod_ct)
+    C1m = row(sched.log_1_min_cumprod_ct)
+    sv = log_add_exp(A, B)[:, None, :]          # k == x_start
+    snv = log_add_exp(F + A, B)[:, None, :]     # other non-mask rows
+    mv = log_add_exp(F + C1m, C)[:, None, :]    # mask row (x0 never mask)
+    kk = jnp.arange(K, dtype=jnp.int32)[None, :, None]
+    logits = jnp.where(kk == K - 1, mv,
+                       jnp.where(kk == x_start[:, None, :], sv, snv))
+    return log_sample_categorical(rng, logits, K)
 
 
 # ---------------------------------------------------------------------------
@@ -331,7 +381,7 @@ def train_loss(rng: jax.Array, sched: D3PMSchedule, denoise_fn: DenoiseFn,
     t, pt = sample_time(t_rng, lt, b, sched.num_timesteps)
 
     log_x_start = index_to_log_onehot(x_start, sched.num_classes)
-    log_xt = q_sample(q_rng, sched, log_x_start, t)
+    log_xt = q_sample_from_indices(q_rng, sched, x_start, t)
     xt = log_onehot_to_index(log_xt)
 
     log_x0_recon = predict_start(sched, denoise_fn, log_xt, cond_emb, t)
@@ -346,7 +396,12 @@ def train_loss(rng: jax.Array, sched: D3PMSchedule, denoise_fn: DenoiseFn,
     mw = mask_region * mask_weight[0] + (1.0 - mask_region) * mask_weight[1]
     kl = jnp.sum(kl * mw, axis=-1)                                # (B,)
 
-    decoder_nll = -jnp.sum(jnp.exp(log_x_start) * log_model_prob, axis=1)
+    # exp(log-onehot) is the one-hot (+1e-30 floor), so the (B, K, L)
+    # contraction is a gather of log_model_prob at x_start; the floor's
+    # contribution (~1e-26) is below f32 resolution of the result
+    # (dt.py:427 computes the same full sum)
+    decoder_nll = -jnp.take_along_axis(
+        log_model_prob, x_start[:, None, :], axis=1)[:, 0, :]
     decoder_nll = jnp.sum(decoder_nll, axis=-1)
 
     is_t0 = (t == 0).astype(jnp.float32)
@@ -362,8 +417,11 @@ def train_loss(rng: jax.Array, sched: D3PMSchedule, denoise_fn: DenoiseFn,
 
     vb_loss = kl_loss / pt
     if auxiliary_loss_weight != 0 and is_train:
-        kl_aux = multinomial_kl(log_x_start[:, :-1, :],
-                                log_x0_recon[:, :-1, :])
+        # one-hot KL against the dense recon is again a gather: x_start is
+        # never the MASK class, so the [:, :-1] slice only drops floor rows
+        # (dt.py:446-448's full multinomial_kl)
+        kl_aux = -jnp.take_along_axis(
+            log_x0_recon, x_start[:, None, :], axis=1)[:, 0, :]
         kl_aux = jnp.sum(kl_aux * mw, axis=-1)
         kl_aux_loss = is_t0 * decoder_nll + (1.0 - is_t0) * kl_aux
         if adaptive_auxiliary_loss:

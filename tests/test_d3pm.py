@@ -206,3 +206,17 @@ def test_sample_with_filter_ratio(sched):
     arr = np.asarray(tokens)
     assert arr.shape == (B, L)
     assert (arr != K - 1).all()
+
+
+def test_q_sample_from_indices_bit_identical():
+    """The one-hot fast path must reproduce q_sample(log-onehot) exactly
+    (same uniform-draw shape, same element-wise arithmetic)."""
+    sched = d3pm.make_schedule(8, 10)
+    rng = np.random.default_rng(7)
+    x0 = jnp.asarray(rng.integers(0, 9, (3, 12)), jnp.int32)
+    t = jnp.asarray(rng.integers(0, 8, (3,)), jnp.int32)
+    key = jax.random.key(11)
+    dense = d3pm.q_sample(
+        key, sched, d3pm.index_to_log_onehot(x0, 10), t)
+    fast = d3pm.q_sample_from_indices(key, sched, x0, t)
+    np.testing.assert_array_equal(np.asarray(dense), np.asarray(fast))
