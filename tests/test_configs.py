@@ -78,3 +78,18 @@ def test_add_and_delete_overrides():
     cfg = compose("train", ["+custom.flag=true", "~ckpt_path"])
     assert cfg["custom"]["flag"] is True
     assert "ckpt_path" not in cfg
+
+
+def test_nested_group_override_textencoder():
+    """`model/textencoder=label` swaps the conditioning group at its
+    defaults-list mount point (the hydra nested-group idiom the reference
+    uses via /model/...@target entries)."""
+    cfg = compose("train", ["model=discrete_diffusion",
+                            "model/textencoder=label",
+                            "model.generator.textencoder.n_classes=3"])
+    te = cfg["model"]["generator"]["textencoder"]
+    assert te["mode"] == "label"
+    assert te["n_classes"] == 3
+    cfg2 = compose("train", ["model=discrete_diffusion",
+                             "model/textencoder=frame"])
+    assert cfg2["model"]["generator"]["textencoder"]["mode"] == "frame"
