@@ -172,7 +172,8 @@ class Stage2Trainer(Trainer):
                 functools.partial(
                     _sample_step, autoencoder=self.autoencoder,
                     generator=self.generator, resolution=self.resolution,
-                    latent_shape=self.latent_shape, sampler=sampler)))
+                    latent_shape=self.latent_shape, sampler=sampler,
+                    mesh=self.mesh)))
         n_params = sum(x.size for x in jax.tree.leaves(self.state.gen_params))
         log.info("D3PM generator params: %.2fM", n_params / 1e6)
 
@@ -288,7 +289,9 @@ def _eval_step(state: Stage2State, batch, rng, *, autoencoder, generator,
 
 
 def _sample_step(state: Stage2State, batch, rng, *, autoencoder, generator,
-                 resolution, latent_shape, sampler: str = "model"):
+                 resolution, latent_shape, sampler: str = "model",
+                 mesh=None, interpret: bool = False,
+                 sample_mode: bool = True):
     b = batch["video"].shape[0]
     if sampler == "megakernel":
         # fully-fused Pallas sampling (ops/megakernel.py): conditioner runs
@@ -301,14 +304,42 @@ def _sample_step(state: Stage2State, batch, rng, *, autoencoder, generator,
             method=DiscreteDiffusionModel.conditioner_embeddings)
         sched = make_schedule(int(dcfg["diffusion_step"]),
                               int(dcfg["num_embed"]) + 1)
-        tokens = megakernel_sample_tokens(
-            rng, sched, state.gen_params["diffusion"]["transformer"],
-            cond, cf_cond, b, int(dcfg["content_seq_len"]),
-            spatial_size=dcfg["spatial_size"],
-            n_layer=int(dcfg["n_layer"]), n_head=int(dcfg["n_head"]),
-            n_embd=int(dcfg["n_embd"]),
-            diffusion_step=int(dcfg["diffusion_step"]),
-            guidance_scale=float(dcfg["guidance_scale"]))
+        params_t = state.gen_params["diffusion"]["transformer"]
+        n_data = int(mesh.shape.get("data", 1)) if mesh is not None else 1
+
+        def run_mk(mk_rng, c, cf, params, batch_size):
+            return megakernel_sample_tokens(
+                mk_rng, sched, params, c, cf, batch_size,
+                int(dcfg["content_seq_len"]),
+                spatial_size=dcfg["spatial_size"],
+                n_layer=int(dcfg["n_layer"]), n_head=int(dcfg["n_head"]),
+                n_embd=int(dcfg["n_embd"]),
+                diffusion_step=int(dcfg["diffusion_step"]),
+                guidance_scale=float(dcfg["guidance_scale"]),
+                sample_mode=sample_mode, interpret=interpret)
+
+        if n_data > 1 and b % n_data == 0:
+            # pallas_call has no SPMD partitioning rule, so under a
+            # multi-device mesh the kernel runs per device over the batch
+            # shard via shard_map (sampling is embarrassingly data-parallel;
+            # weights replicated). Mirrors the sharded codebook kernel
+            # (ops/codebook_kernel.nearest_code_stats_sharded).
+            from jax.experimental.shard_map import shard_map
+            from jax.sharding import PartitionSpec as P
+            cfb = jnp.broadcast_to(cf_cond, cond.shape)
+
+            def per_shard(mk_rng, c, cf, params):
+                mk_rng = jax.random.fold_in(
+                    mk_rng, jax.lax.axis_index("data"))
+                return run_mk(mk_rng, c, cf, params, b // n_data)
+
+            tokens = shard_map(
+                per_shard, mesh=mesh,
+                in_specs=(P(), P("data"), P("data"), P()),
+                out_specs=P("data"), check_rep=False,
+            )(rng, cond, cfb, params_t)
+        else:
+            tokens = run_mk(rng, cond, cf_cond, params_t, b)
     else:
         tokens = generator.apply(
             {"params": state.gen_params, "diffusion": state.diffusion},
