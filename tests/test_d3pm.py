@@ -220,3 +220,24 @@ def test_q_sample_from_indices_bit_identical():
         key, sched, d3pm.index_to_log_onehot(x0, 10), t)
     fast = d3pm.q_sample_from_indices(key, sched, x0, t)
     np.testing.assert_array_equal(np.asarray(dense), np.asarray(fast))
+
+
+def test_true_q_posterior_matches_dense():
+    """Token-space true posterior vs q_posterior on log-onehots, covering
+    t=0, mask x_t, and x_t == x_start cases."""
+    K, T, B, L = 10, 8, 4, 16
+    sched = d3pm.make_schedule(T, K)
+    rng = np.random.default_rng(9)
+    x0 = jnp.asarray(rng.integers(0, K - 1, (B, L)), jnp.int32)
+    xt = jnp.asarray(rng.integers(0, K, (B, L)), jnp.int32)  # incl. mask
+    xt = xt.at[0, :4].set(K - 1)          # forced mask region
+    xt = xt.at[1].set(x0[1])              # forced x_t == x_start row
+    for t_val in [0, 1, T - 1]:
+        t = jnp.full((B,), t_val, jnp.int32)
+        dense = d3pm.q_posterior(
+            sched, d3pm.index_to_log_onehot(x0, K),
+            d3pm.index_to_log_onehot(xt, K), t)
+        fast = d3pm.true_q_posterior(sched, x0, xt, t)
+        np.testing.assert_allclose(np.asarray(fast), np.asarray(dense),
+                                   rtol=2e-5, atol=2e-5,
+                                   err_msg=f"t={t_val}")
