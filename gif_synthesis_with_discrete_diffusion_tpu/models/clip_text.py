@@ -262,10 +262,16 @@ class ClipTextConditioner(nn.Module):
     dim: int = 512
     cf_tokens: tuple = ()  # tokenized "" (sot, eot, 0...); set by builder
     freeze: bool = True
+    # tower size overrides (tests shrink these; defaults = ViT-B/32 text)
+    width: int = 512
+    heads: int = 8
+    layers: int = 12
 
     @nn.compact
     def __call__(self, batch: Mapping[str, Any], batch_size: int):
-        model = ClipTextModel(embed_dim=self.dim, name="clip")
+        model = ClipTextModel(embed_dim=self.dim, width=self.width,
+                              heads=self.heads, layers=self.layers,
+                              name="clip")
         tokens = batch["text_tokens"].astype(jnp.int32)
         cond = model(tokens)[:, None, :]
         if self.cf_tokens:

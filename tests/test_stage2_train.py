@@ -181,3 +181,22 @@ def test_stage2_frozen_autoencoder_unchanged(tmp_path):
         np.testing.assert_array_equal(a, b)  # frozen stays frozen
     assert any(np.abs(a - b).max() > 0 for a, b in
                zip(jax.tree.leaves(gen_before), jax.tree.leaves(gen_after)))
+
+
+def test_stage2_text_conditioning_end_to_end(tmp_path):
+    """mode=text: tokenization (_TokenizingDM), the CLIP tower conditioner,
+    training and sampling all run end-to-end. Regression: the shipped
+    clip_text_embedding.yaml keys (bpe_path/clip_ckpt) used to crash the
+    module constructor."""
+    cond = {"mode": "text", "dim": 32, "bpe_path": None, "clip_ckpt": None,
+            "width": 16, "heads": 2, "layers": 1}
+    t = Stage2Trainer(_cfg(conditioner=cond), _dm(), tmp_path / "run")
+    metrics = t.fit()
+    assert np.isfinite(metrics["total/train"])
+    flat = jax.tree_util.tree_flatten_with_path(t.state.gen_params)[0]
+    names = ["/".join(str(k) for k in path) for path, _ in flat]
+    assert any("clip" in n for n in names)
+    batch = next(iter(t.datamodule.val_batches(0)))
+    videos = t.sample_videos(batch, jax.random.key(0))
+    assert videos.shape == (8, 2, 16, 16, 3)
+    assert np.isfinite(np.asarray(videos)).all()
