@@ -93,3 +93,47 @@ def test_nested_group_override_textencoder():
     cfg2 = compose("train", ["model=discrete_diffusion",
                              "model/textencoder=frame"])
     assert cfg2["model"]["generator"]["textencoder"]["mode"] == "frame"
+
+
+@pytest.mark.parametrize("overrides", [
+    ["model/textencoder=clip_text_embedding",
+     "model.generator.textencoder.mode=text",
+     "+model.generator.textencoder.width=16",
+     "+model.generator.textencoder.heads=2",
+     "+model.generator.textencoder.layers=1"],
+    ["model/textencoder=label"],
+    ["model/textencoder=frame"],
+], ids=["text", "label", "frame"])
+def test_stage2_builds_from_shipped_configs(tmp_path, overrides):
+    """Every conditioning group must BUILD (flax init) straight from the
+    composed YAML tree — the hand-written test dicts missed a crash where
+    trainer-level keys (bpe_path/clip_ckpt) leaked into the module
+    constructor."""
+    from gif_synthesis_with_discrete_diffusion_tpu.data.synthetic import (
+        SyntheticVideoDataModule)
+    from gif_synthesis_with_discrete_diffusion_tpu.train.stage2 import (
+        Stage2Trainer)
+
+    tiny = [
+        "model=discrete_diffusion", "datamodule=synthetic", "batch_size=4",
+        "datamodule.resolution=16", "datamodule.sequence_length=2",
+        "model.autoencoder.embedding_dim=8", "model.autoencoder.n_codes=16",
+        "model.autoencoder.n_hiddens=16", "model.autoencoder.n_res_layers=1",
+        "model.autoencoder.downsample=[1,4,4]",
+        "model.autoencoder.kernel_mode=xla",
+        "model.generator.diffusion_model.diffusion_step=4",
+        "model.generator.diffusion_model.transformer.n_layer=1",
+        "model.generator.diffusion_model.transformer.n_embd=16",
+        "model.generator.diffusion_model.transformer.n_head=4",
+        "model.generator.diffusion_model.transformer.condition_dim=32",
+        "model.generator.diffusion_model.transformer.dalle.spatial_size=[8,4]",
+        "model.generator.textencoder.dim=32",
+    ]
+    cfg = compose("train", tiny + overrides)
+    dm = SyntheticVideoDataModule(batch_size=4, sequence_length=2,
+                                  resolution=16, num_train=4, num_val=4,
+                                  frame_dim=2048)
+    t = Stage2Trainer(cfg, dm, tmp_path / "run")
+    batch = t._prepare_batch(next(iter(dm.train_batches(0))))
+    t.build(batch)
+    assert t.state is not None
