@@ -137,3 +137,17 @@ def test_stage2_builds_from_shipped_configs(tmp_path, overrides):
     batch = t._prepare_batch(next(iter(dm.train_batches(0))))
     t.build(batch)
     assert t.state is not None
+
+
+@pytest.mark.parametrize("preset", ["default", "fdr", "limit", "overfit",
+                                    "profiler"])
+def test_every_debug_preset_composes(preset):
+    cfg = compose("train", [f"debug={preset}", "datamodule=synthetic"])
+    assert cfg["task_name"] == "train"
+
+
+@pytest.mark.parametrize("logger", ["csv", "tensorboard", "wandb", "mlflow",
+                                    "neptune", "comet", "many_loggers"])
+def test_every_logger_group_composes(logger):
+    cfg = compose("train", [f"logger={logger}"])
+    assert isinstance(cfg["logger"], dict) and cfg["logger"]
