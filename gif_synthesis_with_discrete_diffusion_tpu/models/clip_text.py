@@ -90,6 +90,11 @@ _BPE_URL = ("https://github.com/openai/CLIP/raw/main/clip/"
             "bpe_simple_vocab_16e6.txt.gz")
 
 
+_BPE_FETCH_FAILED: set = set()  # per-process negative cache: one ~10s
+# timeout per destination, not one per trainer build (offline sandboxes
+# often DROP packets rather than refuse, so every attempt blocks fully)
+
+
 def download_bpe_vocab(dest: str | Path | None = None) -> Path | None:
     """Best-effort fetch of CLIP's merges file to ``dest`` (default:
     ~/.cache/gsdd_tpu/). Returns the path, or None when offline."""
@@ -97,6 +102,9 @@ def download_bpe_vocab(dest: str | Path | None = None) -> Path | None:
         Path.home() / ".cache" / "gsdd_tpu" / "bpe_simple_vocab_16e6.txt.gz")
     if dest.exists():
         return dest
+    if str(dest) in _BPE_FETCH_FAILED:
+        return None
+    _BPE_FETCH_FAILED.add(str(dest))
     try:
         import urllib.request
         dest.parent.mkdir(parents=True, exist_ok=True)

@@ -109,7 +109,11 @@ def preprocess_imagenet_v2(frame_u8: jax.Array,
     scale = resize / min(h, w)
     nh, nw = round(h * scale), round(w * scale)
     lead = x.shape[:-3]
-    x = jax.image.resize(x, (*lead, nh, nw, 3), method="bilinear")
+    # antialias=True matches torchvision's IMAGENET1K_V2 transform
+    # (Resize(..., antialias=True)) on the typical DOWNSCALE; without it
+    # the (2048,) frame features drift from the reference backbone's
+    x = jax.image.resize(x, (*lead, nh, nw, 3), method="bilinear",
+                         antialias=True)
     top, left = (nh - crop) // 2, (nw - crop) // 2
     x = x[..., top:top + crop, left:left + crop, :]
     mean = jnp.asarray(IMAGENET_MEAN, jnp.float32)

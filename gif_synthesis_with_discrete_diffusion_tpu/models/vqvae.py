@@ -209,7 +209,9 @@ class Codebook(nn.Module):
             # jnp oracle on CPU meshes) + psum of the EMA statistics over
             # the data axis — the reference's dist.all_reduce
             # (videogpt_vq_vae.py:197-198) as an XLA collective.
-            return nearest_code_stats_sharded(flat, emb, self.mesh)
+            return nearest_code_stats_sharded(
+                flat, emb, self.mesh,
+                force_pallas=self.kernel_mode == "pallas")
         if self.kernel_mode == "pallas":
             return nearest_code_stats(flat, emb, use_pallas=True)
         # auto: Pallas on a single TPU chip; XLA (pjit-partitionable matmul)

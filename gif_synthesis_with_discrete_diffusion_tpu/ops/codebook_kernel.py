@@ -155,7 +155,8 @@ def _vmem_ok(n: int, k: int, d: int) -> bool:
 
 def nearest_code_stats_sharded(x: jax.Array, embeddings: jax.Array, mesh,
                                data_axis: str = "data", *,
-                               interpret: bool = False):
+                               interpret: bool = False,
+                               force_pallas: bool = False):
     """Multi-device fused lookup: each device runs the Pallas kernel on its
     batch shard; the EMA statistics psum over the data axis (the collective
     the reference does manually with dist.all_reduce,
@@ -167,16 +168,20 @@ def nearest_code_stats_sharded(x: jax.Array, embeddings: jax.Array, mesh,
 
     # inside shard_map each instance sees only its shard -> the Pallas
     # kernel is safe per-device (on TPU); CPU tests use the jnp oracle
-    use_pallas = (jax.default_backend() in ("tpu", "axon")
-                  and not interpret)
+    on_tpu = jax.default_backend() in ("tpu", "axon") and not interpret
 
     @partial(shard_map, mesh=mesh,
              in_specs=(P(data_axis, None), P(None, None)),
              out_specs=(P(data_axis), P(None), P(None, None)),
              check_vma=False)
     def _local(xl, emb):
+        # same VMEM gate as the single-device auto path: large codebooks
+        # (e.g. n_codes=4096, d=128 ~ 21MB resident) must fall back to the
+        # XLA matmul instead of failing Mosaic VMEM allocation on chip —
+        # unless the caller explicitly forced the Pallas kernel
+        up = on_tpu and (force_pallas or _vmem_ok(xl.shape[0], *emb.shape))
         idx, ntot, esum = nearest_code_stats(
-            xl, emb, use_pallas=use_pallas, interpret=interpret)
+            xl, emb, use_pallas=up, interpret=interpret)
         return (idx, jax.lax.psum(ntot, data_axis),
                 jax.lax.psum(esum, data_axis))
 

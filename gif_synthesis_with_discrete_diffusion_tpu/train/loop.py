@@ -100,9 +100,12 @@ class Trainer:
         # second checkpoint tracking the best FVD (reference
         # configs/callbacks/default.yaml:19-25 fid_checkpoint monitoring
         # Metrics/fvd-val); saved only on epochs where FVD was computed
-        fk = cb.get("fid_checkpoint") or {}
+        # enabled by PRESENCE (an empty dict means "defaults", like
+        # model_checkpoint above), disabled by absence or explicit null
+        fk = cb.get("fid_checkpoint")
         self.fid_ckpt = None
-        if fk:
+        if fk is not None and "fid_checkpoint" in cb:
+            fk = fk or {}
             self.fid_ckpt = CheckpointManager(
                 self.run_dir / "checkpoints_fvd",
                 monitor=fk.get("monitor", "Metrics/fvd-val"),

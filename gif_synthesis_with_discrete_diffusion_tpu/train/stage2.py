@@ -91,8 +91,15 @@ class Stage2Trainer(Trainer):
         self._names = [n for n in self.loss_dict] + ["total"]
         tenc = self.model_cfg.get("generator", {}).get("textencoder") or {}
         tenc = tenc if isinstance(tenc, Mapping) else {}
-        self.tokenizer = make_tokenizer(tenc.get("bpe_path"))
         self._text_mode = tenc.get("mode") == "text"
+        # only text conditioning needs a tokenizer — make_tokenizer may
+        # attempt a (best-effort) BPE-vocab download, which must not run on
+        # every label/frame/null trainer build
+        self.tokenizer = (make_tokenizer(tenc.get("bpe_path"))
+                          if self._text_mode else None)
+        self._learnable_cf = bool(
+            self.model_cfg.get("generator", {})
+            .get("diffusion_model", {}).get("learnable_cf", False))
         self.evaluator = None  # set externally or via cfg (FVD)
 
     def loss_names(self):
@@ -102,6 +109,12 @@ class Stage2Trainer(Trainer):
         batch = dict(batch)
         if self._text_mode and "text" in batch:
             batch["text_tokens"] = self.tokenizer(batch["text"])
+            if self._learnable_cf:
+                # rows with EMPTY captions train empty_text_embed — the
+                # reference derives this from the condition token mask
+                # (dt.py:541-543, is_empty_text from condition_mask)
+                batch["empty_text_mask"] = np.array(
+                    [not str(t).strip() for t in batch["text"]], bool)
         return batch
 
     def build(self, example_batch):
@@ -324,7 +337,7 @@ def _sample_step(state: Stage2State, batch, rng, *, autoencoder, generator,
             # shard via shard_map (sampling is embarrassingly data-parallel;
             # weights replicated). Mirrors the sharded codebook kernel
             # (ops/codebook_kernel.nearest_code_stats_sharded).
-            from jax.experimental.shard_map import shard_map
+            from jax import shard_map
             from jax.sharding import PartitionSpec as P
             cfb = jnp.broadcast_to(cf_cond, cond.shape)
 
@@ -336,7 +349,7 @@ def _sample_step(state: Stage2State, batch, rng, *, autoencoder, generator,
             tokens = shard_map(
                 per_shard, mesh=mesh,
                 in_specs=(P(), P("data"), P("data"), P()),
-                out_specs=P("data"), check_rep=False,
+                out_specs=P("data"), check_vma=False,
             )(rng, cond, cfb, params_t)
         else:
             tokens = run_mk(rng, cond, cf_cond, params_t, b)

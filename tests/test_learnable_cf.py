@@ -75,3 +75,26 @@ def test_learnable_cf_off_has_no_param():
     model = _model(learnable_cf=False)
     variables = _init(model)
     assert "empty_text_embed" not in variables["params"]
+
+
+def test_prepare_batch_derives_empty_text_mask(tmp_path):
+    """Rows with empty captions must train empty_text_embed: the trainer
+    derives empty_text_mask from the raw text (the reference builds
+    is_empty_text from the condition token mask, dt.py:541-543)."""
+    import numpy as np
+    from gif_synthesis_with_discrete_diffusion_tpu.train.stage2 import (
+        Stage2Trainer)
+    from tests.test_stage2_train import _cfg, _dm
+
+    cond = {"mode": "text", "dim": 32, "width": 16, "heads": 2, "layers": 1}
+    cfg = _cfg(conditioner=cond)
+    cfg["model"]["generator"]["diffusion_model"]["learnable_cf"] = True
+    t = Stage2Trainer(cfg, _dm(), tmp_path / "run")
+    b = t._prepare_batch({"text": ["a dog", "", "   ", "cat"],
+                          "video": np.zeros((4, 2, 16, 16, 3), np.uint8)})
+    assert b["empty_text_mask"].tolist() == [False, True, True, False]
+    # without learnable_cf the key must not appear (no dead batch fields)
+    t2 = Stage2Trainer(_cfg(conditioner=cond), _dm(), tmp_path / "run2")
+    b2 = t2._prepare_batch({"text": ["x", ""],
+                            "video": np.zeros((2, 2, 16, 16, 3), np.uint8)})
+    assert "empty_text_mask" not in b2
