@@ -33,7 +33,7 @@ def _tpu_env() -> dict:
     return env
 
 
-def _run_on_tpu(code: str, timeout: float = 560.0):
+def _run_on_tpu(code: str, timeout: float = 840.0):
     return subprocess.run(
         [sys.executable, "-c", code], env=_tpu_env(), cwd=_REPO,
         capture_output=True, text=True, timeout=timeout)
