@@ -1,36 +1,55 @@
 #!/usr/bin/env python
 """Headline benchmark: sampled clips/sec/chip for 100-step D3PM sampling.
 
-North-star config (BASELINE.md): conditional 16-frame 64x64 clip sampling,
-100 diffusion steps, guidance_scale=2 (classifier-free guidance -> the
-batched-2B denoiser forward), UCF101-scale models (VQ-VAE n_codes=2048,
-downsample [2,8,8] -> 8x8x8=512 latent tokens; 19-layer n_embd=64 denoiser),
-followed by VQ-VAE decode to pixels. The whole reverse process + decode is
-one jit-compiled lax.scan program.
+North-star config (BASELINE.md, the HONEST problem size): conditional
+16-frame 64x64 clip sampling, 100 diffusion steps, guidance_scale=2
+(classifier-free guidance), at the reference job's model scale —
+n_codes=4096, downsample [1,8,8] -> 16x8x8 = 1024 latent tokens
+(/root/reference/ucf-ddiff-train.job:15: n_codes=4096 downsample=[1,8,8]
+content_spatial_size=[32,32], i.e. a 1024-token grid), 19-layer n_embd=64
+denoiser — followed by VQ-VAE decode to pixels. The whole reverse process +
+decode is one jit-compiled lax.scan program over the fused megakernel.
+
+``--config half`` runs the reference-UCF-quirk variant (the reference UCF
+job leaves dalle.num_embed at 2048,
+configs/model/motionencoder/dalle_mask_image_embedding.yaml:5): n_codes
+2048, downsample [2,8,8] -> 512 tokens. This was the (undersized) round-1/2
+headline config; it stays as a secondary row only.
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "clips/sec/chip", "vs_baseline": N}
 
-vs_baseline: the reference publishes no numbers (BASELINE.md). The divisor
-below is an engineering estimate of the PyTorch reference on its actual
-hardware (A40): 100 steps x 2 sequential forwards of a 19-layer tiny-width
-transformer = ~60k kernel launches per batch; launch-bound at ~5-10us each
-gives ~25-55 clips/sec at batch 16. We use 40 clips/sec/GPU as the denominator
-until a measured PyTorch-GPU number replaces it.
+vs_baseline derivation: the reference publishes no numbers (BASELINE.md),
+so the denominator is MEASURED — scripts/measure_torch_baseline.py times
+the actual reference sampler (reference-keyed torch twin, two sequential
+forwards per step, dense log-space posterior; semantics dt.py:240-249,
+568-644) on this host's CPU at the identical config and records it in
+BASELINE_MEASURED.json. vs_baseline = TPU clips/sec / that measured torch
+number (different hardware, same algorithm+scale — the only measurable
+pairing in this image; the artifact also records the same-host
+jax-CPU/torch-CPU ratio). The PyTorch-on-A40 EXTRAPOLATION (~40 clips/sec
+for this launch-bound ~60k-launch/clip workload) is reported separately as
+``vs_pytorch_gpu_estimate`` and stays an estimate until a GPU measurement
+exists. Without BASELINE_MEASURED.json, vs_baseline falls back to the GPU
+estimate (flagged via ``baseline_source``).
 
 Secondary benchmarks (BASELINE.md configs 1-2):
-  python bench.py --metric vqvae      # VQ-VAE enc/dec frames/sec
-  python bench.py --metric train_step # VQ-VAE training step/sec (batch 64)
+  python bench.py --metric vqvae         # VQ-VAE enc/dec frames/sec
+  python bench.py --metric train_step    # VQ-VAE train step/sec (bs 64)
+  python bench.py --metric train_step128 # ... at the vqvae.job 128px shape
 """
 from __future__ import annotations
 
 import argparse
 import json
+import os
 import time
 
 import numpy as np
 
 ESTIMATED_PYTORCH_GPU_CLIPS_PER_SEC = 40.0
+_MEASURED_BASELINE_PATH = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "BASELINE_MEASURED.json")
 # Measured on the tunnel-virtualized v5e (~34 TFLOP/s bf16, ~60 GB/s
 # effective):
 #   round 1: reference-path scan 3.3 -> fused attention 6.0 ->
@@ -42,16 +61,47 @@ ESTIMATED_PYTORCH_GPU_CLIPS_PER_SEC = 40.0
 #            per-head small-K dots (36us/attn, tie), chunked head groups
 #            (23.2). Remaining step time: ~16ms self-attn (5 matmul +
 #            11 softmax VPM traffic), ~5ms QKV/MLP/logits/sampler.
+#   round 3: HONEST scale (1024 tokens, K=4097) via the tiled megakernel:
+#            76.6 ms/step @ B=32 -> 4.18 clips/sec first light; q_block
+#            128 vs 256 tie. See DESIGN.md round-3 log for A/Bs.
 # Real v5e hardware (197 TFLOP/s bf16, 819 GB/s) should scale these up
-# substantially; the estimate divisor stays until a measured PyTorch-GPU
-# number exists.
+# substantially.
 
 SEQ_LEN = 16
 RES = 64
-N_CODES = 2048
-DOWNSAMPLE = (2, 8, 8)
+N_CODES = 4096
+DOWNSAMPLE = (1, 8, 8)
 BATCH = 32
 DIFFUSION_STEPS = 100
+
+
+def apply_config(name: str) -> None:
+    """Select the benchmark problem size (module-level, call before any
+    model build). 'honest' = BASELINE config; 'half' = round-1/2 row."""
+    global N_CODES, DOWNSAMPLE
+    if name == "half":
+        N_CODES, DOWNSAMPLE = 2048, (2, 8, 8)
+    elif name != "honest":
+        raise ValueError(f"unknown --config {name!r}")
+
+
+def _vs_baseline_fields(clips_per_sec: float) -> dict:
+    """vs_baseline from the measured torch-CPU artifact when present,
+    falling back to the documented GPU estimate (see module docstring)."""
+    fields = {"vs_pytorch_gpu_estimate": round(
+        clips_per_sec / ESTIMATED_PYTORCH_GPU_CLIPS_PER_SEC, 3)}
+    try:
+        with open(_MEASURED_BASELINE_PATH) as f:
+            measured = json.load(f)
+        torch_cps = float(measured["torch_cpu_clips_per_sec"])
+        fields["vs_baseline"] = round(clips_per_sec / torch_cps, 3)
+        fields["baseline_source"] = (
+            f"measured torch CPU {torch_cps} clips/sec, "
+            f"config {measured.get('config')} (BASELINE_MEASURED.json)")
+    except (OSError, KeyError, ValueError, TypeError):
+        fields["vs_baseline"] = fields["vs_pytorch_gpu_estimate"]
+        fields["baseline_source"] = "pytorch GPU estimate (no artifact)"
+    return fields
 
 
 def _build_models():
@@ -124,12 +174,14 @@ def bench_sampling() -> dict:
         times.append(time.perf_counter() - t0)
     dt = float(np.median(times))
     clips_per_sec = BATCH / dt
+    seq = int(np.prod([s // d for s, d in
+                       zip((SEQ_LEN, RES, RES), DOWNSAMPLE)]))
     return {
-        "metric": "sampled clips/sec/chip (100-step D3PM, 16f 64px, CFG 2)",
+        "metric": (f"sampled clips/sec/chip (100-step D3PM, 16f 64px, "
+                   f"{seq} tok, K={N_CODES + 1}, CFG 2)"),
         "value": round(clips_per_sec, 3),
         "unit": "clips/sec/chip",
-        "vs_baseline": round(
-            clips_per_sec / ESTIMATED_PYTORCH_GPU_CLIPS_PER_SEC, 3),
+        **_vs_baseline_fields(clips_per_sec),
     }
 
 
@@ -165,7 +217,11 @@ def bench_vqvae() -> dict:
             "vs_baseline": 0.0}
 
 
-def bench_train_step() -> dict:
+def bench_train_step(resolution: int = 64) -> dict:
+    """VQ-VAE train step at the vqvae.job model scale (bs 64, n_codes 4096,
+    3 res layers, downsample [1,8,8]). resolution=64 is the quick variant;
+    resolution=128 matches the reference job's actual data shape
+    (vqvae.job + configs/datamodule/ucf101.yaml: 128px)."""
     import jax
     from gif_synthesis_with_discrete_diffusion_tpu.data.synthetic import (
         SyntheticVideoDataModule)
@@ -180,11 +236,13 @@ def bench_train_step() -> dict:
            "model": {"generator": {"embedding_dim": 128, "n_codes": 4096,
                                    "n_hiddens": 256, "n_res_layers": 3,
                                    "downsample": [1, 8, 8],
-                                   "sequence_length": 4, "resolution": 64},
+                                   "sequence_length": 4,
+                                   "resolution": resolution},
                      "losses": {"loss_dict": {"l_dummy": 1.0}},
                      "lr_args": {"gen_lr": 4e-4}}}
     dm = SyntheticVideoDataModule(batch_size=bs, sequence_length=4,
-                                  resolution=64, num_train=bs, num_val=bs)
+                                  resolution=resolution, num_train=bs,
+                                  num_val=bs)
     with tempfile.TemporaryDirectory() as rd:
         tr = Stage1Trainer(cfg, dm, rd)
         batch = next(iter(dm.train_batches(0)))
@@ -199,7 +257,8 @@ def bench_train_step() -> dict:
             float(values["total"])
             times.append(time.perf_counter() - t0)
         dt = float(np.median(times))
-    return {"metric": "VQ-VAE train steps/sec (batch 64, EMA codebook)",
+    return {"metric": (f"VQ-VAE train steps/sec (batch 64, EMA codebook, "
+                       f"{resolution}px)"),
             "value": round(1.0 / dt, 3), "unit": "steps/sec/chip",
             "vs_baseline": 0.0}
 
@@ -349,11 +408,18 @@ def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--metric", default="sampling",
                         choices=["sampling", "vqvae", "train_step",
-                                 "train_step2", "fvd_pipeline"])
+                                 "train_step128", "train_step2",
+                                 "fvd_pipeline"])
+    parser.add_argument("--config", default="honest",
+                        choices=["honest", "half"],
+                        help="problem size: honest=BASELINE (1024 tok, "
+                             "K=4097); half=round-1/2 row (512 tok, K=2049)")
     args = parser.parse_args()
+    apply_config(args.config)
     _backend_watchdog()
     fn = {"sampling": bench_sampling, "vqvae": bench_vqvae,
           "train_step": bench_train_step,
+          "train_step128": lambda: bench_train_step(resolution=128),
           "train_step2": bench_train_step2,
           "fvd_pipeline": bench_fvd_pipeline}[args.metric]
     try:

@@ -202,15 +202,28 @@ class HashTokenizer:
         return out
 
 
-def make_tokenizer(bpe_path: str | Path | None = None):
+def make_tokenizer(bpe_path: str | Path | None = None, *,
+                   allow_hash: bool = True):
     """Exact CLIP tokenizer when a merges file is available — explicitly via
     ``bpe_path``, from the default cache, or auto-downloaded (best-effort,
-    offline-safe). HashTokenizer is the documented offline fallback."""
+    offline-safe). HashTokenizer is the documented offline fallback.
+
+    With ``allow_hash=False`` (the training path: text conditioning must not
+    silently train on non-CLIP token ids) a missing merges file is a hard
+    error instead; set ``textencoder.allow_hash_tokenizer: true`` to opt
+    back into the fallback."""
     if bpe_path and Path(bpe_path).exists():
         return ClipTokenizer(bpe_path)
     cached = download_bpe_vocab()
     if cached is not None:
         return ClipTokenizer(cached)
+    if not allow_hash:
+        raise RuntimeError(
+            "No CLIP BPE merges file found (textencoder.bpe_path unset and "
+            "no cached/downloadable vocab). Text conditioning would fall "
+            "back to the non-CLIP HashTokenizer; set "
+            "textencoder.allow_hash_tokenizer: true to allow that, or "
+            "provide textencoder.bpe_path.")
     return HashTokenizer()
 
 

@@ -85,10 +85,12 @@ def build_conditioner(cfg: Mapping[str, Any] | None) -> nn.Module:
         return FrameConditioner(dim=dim)
     if mode == "text":
         from .clip_text import ClipTextConditioner
-        # bpe_path (tokenizer) and clip_ckpt (weight converter) are consumed
-        # by the trainer, not the module — drop them so the shipped
-        # clip_text_embedding.yaml keys don't crash the constructor
+        # bpe_path / allow_hash_tokenizer (tokenizer) and clip_ckpt (weight
+        # converter) are consumed by the trainer, not the module — drop
+        # them so the shipped clip_text_embedding.yaml keys don't crash the
+        # constructor
         cfg.pop("bpe_path", None)
+        cfg.pop("allow_hash_tokenizer", None)
         cfg.pop("clip_ckpt", None)
         return ClipTextConditioner(dim=dim, **cfg)
     raise ValueError(f"unknown conditioning mode {mode!r}")

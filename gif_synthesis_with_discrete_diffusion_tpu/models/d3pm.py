@@ -450,8 +450,25 @@ def train_loss(rng: jax.Array, sched: D3PMSchedule, denoise_fn: DenoiseFn,
 
     Returns (per_sample_vb_loss (B,), aux dict, new LtState). The caller
     averages vb_loss over B*L like dt.py:554.
+
+    CONTRACT: ``x_start`` must contain real data tokens only, i.e. every
+    value < num_classes - 1. The MASK class (K-1) can never be a clean
+    token (it exists only as the absorbing forward-process state), and
+    ``true_q_posterior``'s where-chain resolves kk == K-1 before
+    kk == x_start, so a MASK in x_start would silently corrupt the x_start
+    row and the "other classes" count. VQ-VAE code indices satisfy this by
+    construction (they live in [0, n_codes)); the debug-mode check below
+    guards any future caller.
     """
     b, L = x_start.shape
+    if jax.config.jax_debug_nans or jax.config.jax_disable_jit:
+        # debug-mode-only guard (a runtime check would sync every step)
+        def _check(xs):
+            if int(xs.max()) >= sched.num_classes - 1:
+                raise ValueError(
+                    "train_loss: x_start contains the MASK class "
+                    f"(max={int(xs.max())}, K-1={sched.num_classes - 1})")
+        jax.debug.callback(_check, x_start)
     t_rng, q_rng = jax.random.split(rng)
     t, pt = sample_time(t_rng, lt, b, sched.num_timesteps)
 

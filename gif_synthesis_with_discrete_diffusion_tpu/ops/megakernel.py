@@ -14,6 +14,21 @@ writing only the new (B, L) tokens. HBM traffic per step drops from ~1GB to
 ~10MB. Grid is (B, n_branches): the conditional branch parks its logits in a
 persistent VMEM scratch; the unconditional branch combines, samples, writes.
 
+At the BASELINE problem size (L=1024 latent tokens, n_codes=4096 ->
+K=4097 classes; reference ucf-ddiff-train.job:15) the naive single-block
+layout no longer fits VMEM: the stacked self-attention scores alone would
+be (1024, 16*1024) f32 = 64 MB. Three loops are therefore tiled (all with
+static python-level block sizes so each degenerates to the round-2 tuned
+single-block code at the small scale):
+  * the one-hot embedding gather is chunked over the class table axis,
+  * self-attention processes queries in blocks of ``_Q_BLOCK_ROWS`` so
+    only a (q_block, H*L) score slab is ever live (keys/values for ALL
+    heads stay resident -- they are only (H*L, C) bf16 = 2 MB),
+  * logits -> log_softmax -> CFG combine -> posterior -> Gumbel runs per
+    row block of ``_R_BLOCK_ROWS`` (every op after attention is
+    row-independent), so the (L, K) logits are never materialized at once;
+    the persistent CFG scratch keeps raw logits and is filled blockwise.
+
 Step-invariant work is hoisted OUT of the kernel (and of the 100-step scan
 where possible): AdaLN scale/shift for the current t, the cross-attention
 K/V per layer (they depend only on the condition), and the positional
@@ -147,6 +162,34 @@ def _mm(a, w):
         preferred_element_type=jnp.float32)
 
 
+# Tiling knobs (bytes of f32 score/logit slab allowed before the python
+# block loops kick in). At L=512/K=2049 both stay single-block, preserving
+# the round-2 measured-fastest code exactly; at L=1024/K=4097 they tile.
+_ATTN_SLAB_LIMIT = 18 * 1024 * 1024   # (L, H*lk) f32 self-attn scores
+_Q_BLOCK_ROWS = 256                   # query rows per tiled attention slab
+_ROW_SLAB_LIMIT = 6 * 1024 * 1024     # (L, K) f32 logits slab
+_R_BLOCK_ROWS = 256                   # rows per tiled sampler block
+_EMB_CHUNK_LIMIT = 2056               # one-hot gather: max un-chunked table
+_EMB_CHUNK_ROWS = 2048                # ... and the chunk height beyond it
+
+# Fold softmax denominators into a second small-output matmul:
+# out = (e @ Vstack) / (e @ block_sel), normalizing on the (qb, C) OUTPUT
+# instead of dividing the (qb, H*lk) slab. Sounds like fewer passes; LOSES
+# on the chip at BOTH scales (Mosaic fuses the per-head max/exp/div chain
+# better than any fewer-dispatches reformulation): 24.5 vs 21.4 ms/step at
+# L=512 (round 2), 95.1 vs 76.3 ms/step at L=1024 (round 3). Kept
+# switchable for future hardware; default OFF.
+_FOLD_DEN: bool | None = False
+
+
+def _blocks(total: int, limit_rows: int):
+    """Static row-block starts/sizes covering ``total``."""
+    if total <= limit_rows:
+        return [(0, total)]
+    step = limit_rows
+    return [(r0, min(step, total - r0)) for r0 in range(0, total, step)]
+
+
 def _kernel(sched_ref, seed_ref, tokens_ref, adaln_ref, kc_ref, vc_ref,
             emb_ref, pos_ref,
             wqkv_ref, bqkv_ref, wproj_ref, bproj_ref, wq_c_ref, bq_c_ref,
@@ -166,11 +209,17 @@ def _kernel(sched_ref, seed_ref, tokens_ref, adaln_ref, kc_ref, vc_ref,
     sp = kc_ref.shape[3]             # padded condition length
 
     # --- token embedding (one-hot matmul gather) + positions ---------------
+    # Chunked over the class-table axis so the one-hot never exceeds
+    # ~(L, 2048) f32 (at K=4097 a full (1024, 4104) one-hot is 16 MB).
     tok = tokens_ref[0, 0]                                   # (L,)
     tab = emb_ref.shape[0]
-    col = jax.lax.broadcasted_iota(jnp.int32, (L, tab), 1)
-    onehot = jnp.where(col == tok[:, None], 1.0, 0.0)
-    x = _mm(onehot, emb_ref[...]) + pos_ref[...]             # (L, C) f32
+    tchunk = tab if tab <= _EMB_CHUNK_LIMIT else _EMB_CHUNK_ROWS
+    x = pos_ref[...]                                         # (L, C) f32
+    for c0 in range(0, tab, tchunk):
+        cs = min(tchunk, tab - c0)
+        col = jax.lax.broadcasted_iota(jnp.int32, (L, cs), 1) + c0
+        onehot = jnp.where(col == tok[:, None], 1.0, 0.0)
+        x = x + _mm(onehot, emb_ref[c0:c0 + cs, :])
 
     scale = 1.0 / math.sqrt(d)
 
@@ -181,22 +230,26 @@ def _kernel(sched_ref, seed_ref, tokens_ref, adaln_ref, kc_ref, vc_ref,
     #       k[j, c] * [c // d == h]
     #   out = probs_cat @ Vstack        with Vstack[h*Lk+j, c] likewise.
     #
-    # Softmax is VECTORIZED over all heads at once: subtracting the GLOBAL
-    # row max (any per-row constant gives the same per-head softmax, since
-    # each head's numerator and denominator scale identically) makes max and
-    # exp single full-width ops instead of 16 per-head slices. The diff is
-    # clamped at -80 so a head far below the row max keeps a positive f32
-    # denominator (exp(-80)=1.8e-35 > min normal). Denominators:
-    #   * lk small (cross-attn): e @ block-diag-ones broadcasts each head's
-    #     sum back to its lanes in one MXU op -> single division. (The old
-    #     16-slice softmax over (L, 8) blocks was op-dispatch-bound:
-    #     10.4ms/step at B=32 on the tunnel v5e.)
+    # Key validity is an INTEGER count (first ``valid_count`` key positions
+    # are real, the rest padding), not a mask vector — the per-head tiled
+    # mask is derived from that count so there is no hidden dependence on a
+    # closed-over variable.
+    #
+    # Softmax:
+    #   * lk small (cross-attn): exact per-head maxima (16 cheap (L, lk)
+    #     slice-maxes, broadcast back) -> ONE full-width exp; per-head
+    #     denominators via e @ block-diag-ones, one MXU op -> single
+    #     division. (The old 16-slice full softmax over (L, 8) blocks was
+    #     op-dispatch-bound: 10.4ms/step at B=32 on the tunnel v5e.)
     #   * lk large (self-attn): the straightforward per-head max/exp/div
     #     slices. Measured A/B on the tunnel chip: per-head 21.4ms/step vs
     #     global-max+folded-denominator 24.5 and matmul-denominator 28.1 --
     #     Mosaic fuses the per-head chain better than any "fewer dispatches"
-    #     reformulation, so keep the simple form for the big blocks.
-    def stacked_attention(q, k, v, lk, valid_mask):
+    #     reformulation, so keep the simple form for the big blocks. When
+    #     the (L, H*lk) score slab would exceed _ATTN_SLAB_LIMIT, queries
+    #     are processed in _Q_BLOCK_ROWS blocks (keys fit regardless:
+    #     kstack is (H*lk, C) bf16 = 2 MB even at L=1024).
+    def stacked_attention(q, k, v, lk, valid_count):
         # block mask over (H*lk, C): row h*lk+j belongs to head h; column c
         # to head c // d. No transposes (Mosaic can't legalize them here).
         row_h = jax.lax.broadcasted_iota(
@@ -211,20 +264,29 @@ def _kernel(sched_ref, seed_ref, tokens_ref, adaln_ref, kc_ref, vc_ref,
         vstack = jnp.where(
             block, jnp.concatenate([v] * n_head, axis=0),
             0.0).astype(jnp.bfloat16)
-        scores = jax.lax.dot_general(
-            q.astype(jnp.bfloat16), kstack,
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32) * scale      # (L, H*lk)
+        lq = q.shape[0]
+        masked = valid_count is not None and valid_count < lk
+
         if lk <= 64:
-            if valid_mask is not None:
-                # tiled per-head mask: lane j valid iff (j % lk) < s_valid
+            scores = jax.lax.dot_general(
+                q.astype(jnp.bfloat16), kstack,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32) * scale  # (L, H*lk)
+            if masked:
+                # per-head tiled mask: lane j valid iff (j % lk) < count
                 lane = jax.lax.broadcasted_iota(
                     jnp.int32, (1, n_head * lk), 1)[0] % lk
-                tiled_valid = (lane < s_valid)[None, :]
+                tiled_valid = (lane < valid_count)[None, :]
                 scores = jnp.where(tiled_valid, scores, -jnp.inf)
-            m = jnp.max(scores, axis=1, keepdims=True)       # global row max
-            e = jnp.exp(jnp.maximum(scores - m, -80.0))
-            if valid_mask is not None:
+            # exact per-head maxima (a head always has >= 1 valid lane, so
+            # no -inf max): 16 slice-maxes + broadcasts, then one exp
+            m = jnp.concatenate(
+                [jnp.broadcast_to(
+                    jnp.max(scores[:, h * lk:(h + 1) * lk], axis=1,
+                            keepdims=True), (lq, lk))
+                 for h in range(n_head)], axis=1)            # (L, H*lk)
+            e = jnp.exp(scores - m)
+            if masked:
                 e = jnp.where(tiled_valid, e, 0.0)
             # one (H*lk, H*lk) block-diag-ones matmul broadcasts per-head
             # sums to every lane of that head
@@ -241,22 +303,61 @@ def _kernel(sched_ref, seed_ref, tokens_ref, adaln_ref, kc_ref, vc_ref,
                 p.astype(jnp.bfloat16), vstack,
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)          # (L, C)
-        blocks = []
-        for h in range(n_head):
-            blk = scores[:, h * lk:(h + 1) * lk]
-            if valid_mask is not None:
-                blk = jnp.where(valid_mask[None, :], blk, -jnp.inf)
-            m = jnp.max(blk, axis=1, keepdims=True)
-            pb = jnp.exp(blk - m)
-            blocks.append(pb / jnp.sum(pb, axis=1, keepdims=True))
-        p_cat = jnp.concatenate(blocks, axis=1)              # (L, H*lk)
-        return jax.lax.dot_general(
-            p_cat.astype(jnp.bfloat16), vstack,
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)              # (L, C)
 
-    kv_valid_1d = (jax.lax.broadcasted_iota(jnp.int32, (1, sp), 1)
-                   < s_valid)[0]
+        tiled = lq * n_head * lk * 4 > _ATTN_SLAB_LIMIT
+        fold = _FOLD_DEN if _FOLD_DEN is not None else tiled
+        # block-selector (H*lk, C): column c sums head c//d's lanes — the
+        # same mask that builds kstack/vstack, reused as matmul operand
+        ones_sel = jnp.where(block, 1.0, 0.0).astype(jnp.bfloat16) \
+            if fold else None
+        out_blocks = []
+        for q0, qb in _blocks(lq, lq if not tiled else _Q_BLOCK_ROWS):
+            scores = jax.lax.dot_general(
+                q[q0:q0 + qb].astype(jnp.bfloat16), kstack,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32) * scale  # (qb, H*lk)
+            if fold:
+                if masked:
+                    tv = (jax.lax.broadcasted_iota(
+                        jnp.int32, (qb, n_head * lk), 1) % lk) < valid_count
+                    scores = jnp.where(tv, scores, -jnp.inf)
+                # exact per-head maxima (16 slice-maxes, broadcast back)
+                m = jnp.concatenate(
+                    [jnp.broadcast_to(
+                        jnp.max(scores[:, h * lk:(h + 1) * lk], axis=1,
+                                keepdims=True), (qb, lk))
+                     for h in range(n_head)], axis=1)
+                e = jnp.exp(scores - m)
+                if masked:
+                    e = jnp.where(tv, e, 0.0)
+                eb = e.astype(jnp.bfloat16)
+                num = jax.lax.dot_general(
+                    eb, vstack,
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)      # (qb, C)
+                den = jax.lax.dot_general(
+                    eb, ones_sel,
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)      # (qb, C)
+                out_blocks.append(num / den)
+                continue
+            blocks = []
+            for h in range(n_head):
+                blk = scores[:, h * lk:(h + 1) * lk]
+                if masked:
+                    kcolv = jax.lax.broadcasted_iota(
+                        jnp.int32, (qb, lk), 1) < valid_count
+                    blk = jnp.where(kcolv, blk, -jnp.inf)
+                m = jnp.max(blk, axis=1, keepdims=True)
+                pb = jnp.exp(blk - m)
+                blocks.append(pb / jnp.sum(pb, axis=1, keepdims=True))
+            p_cat = jnp.concatenate(blocks, axis=1)          # (qb, H*lk)
+            out_blocks.append(jax.lax.dot_general(
+                p_cat.astype(jnp.bfloat16), vstack,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32))         # (qb, C)
+        return (out_blocks[0] if len(out_blocks) == 1
+                else jnp.concatenate(out_blocks, axis=0))    # (L, C)
 
     def layer(i, x):
         ada = adaln_ref[i]                                    # (2, 2C)
@@ -265,7 +366,7 @@ def _kernel(sched_ref, seed_ref, tokens_ref, adaln_ref, kc_ref, vc_ref,
         qkv = _mm(h, wqkv_ref[i]) + bqkv_ref[i]               # (L, 3C)
         o = stacked_attention(qkv[:, :n_embd],
                               qkv[:, n_embd:2 * n_embd],
-                              qkv[:, 2 * n_embd:], L, None)
+                              qkv[:, 2 * n_embd:], L, None)  # all keys valid
         x = x + _mm(o, wproj_ref[i]) + bproj_ref[i]
 
         # --- cross-attention over the (precomputed) condition K/V ---
@@ -282,7 +383,7 @@ def _kernel(sched_ref, seed_ref, tokens_ref, adaln_ref, kc_ref, vc_ref,
             h = _ln(x) * (1.0 + ada[1, :n_embd]) + ada[1, n_embd:]
             qc = _mm(h, wq_c_ref[i]) + bq_c_ref[i]            # (L, C)
             oc = stacked_attention(qc, kc_ref[0, 0, i], vc_ref[0, 0, i], sp,
-                                   kv_valid_1d)
+                                   s_valid)
             x = x + _mm(oc, wproj_c_ref[i]) + bproj_c_ref[i]
 
         # --- MLP ---
@@ -297,13 +398,17 @@ def _kernel(sched_ref, seed_ref, tokens_ref, adaln_ref, kc_ref, vc_ref,
     # dynamically indexed per layer.
     x = jax.lax.fori_loop(0, n_layer, layer, x)
 
-    h = _ln(x) * lno_ref[0] + lno_ref[1]
-    logits = _mm(h, wlog_ref[...]) + blog_ref[...]            # (L, kp)
+    h = _ln(x) * lno_ref[0] + lno_ref[1]                      # (L, C)
 
-    kcol = jax.lax.broadcasted_iota(jnp.int32, (L, kp), 1)
-    kvalid = kcol < k_valid
+    # Everything after attention is row-independent; run it per row block
+    # so no (L, K) slab is ever fully live (16 MB each at L=1024/K=4097).
+    row_blocks = _blocks(L, L if L * kp * 4 <= _ROW_SLAB_LIMIT
+                         else _R_BLOCK_ROWS)
 
-    def log_softmax(z):
+    def logits_block(r0, rb):
+        return _mm(h[r0:r0 + rb], wlog_ref[...]) + blog_ref[...]  # (rb, kp)
+
+    def log_softmax(z, kvalid):
         z = jnp.where(kvalid, z, -jnp.inf)
         m = jnp.max(z, axis=1, keepdims=True)
         lse = jnp.log(jnp.sum(jnp.exp(z - m), axis=1, keepdims=True)) + m
@@ -312,39 +417,53 @@ def _kernel(sched_ref, seed_ref, tokens_ref, adaln_ref, kc_ref, vc_ref,
     if use_cfg:
         @pl.when(br == 0)
         def _store_cond():
-            lc_scratch[...] = logits
+            for r0, rb in row_blocks:
+                lc_scratch[r0:r0 + rb, :] = logits_block(r0, rb)
 
         @pl.when(br == 1)
         def _combine_and_sample():
-            lc = log_softmax(lc_scratch[...])
-            lcf = log_softmax(logits)
-            ln = lcf + guidance * (lc - lcf)
-            ln = jnp.where(kvalid, ln, -jnp.inf)
-            m = jnp.max(ln, axis=1, keepdims=True)
-            lse = jnp.log(jnp.sum(jnp.exp(ln - m), axis=1,
-                                  keepdims=True)) + m
-            r = jnp.maximum(ln - lse, LOG_CLAMP)
-            _sample(sched_ref, seed_ref, r, tok, out_ref, kvalid,
-                    b=b, k_valid=k_valid, num_classes=num_classes, L=L,
-                    kp=kp, sample_mode=sample_mode)
+            if sample_mode:
+                pltpu.prng_seed(seed_ref[0] + b)
+            for r0, rb in row_blocks:
+                kvalid = jax.lax.broadcasted_iota(
+                    jnp.int32, (rb, kp), 1) < k_valid
+                lc = log_softmax(lc_scratch[r0:r0 + rb, :], kvalid)
+                lcf = log_softmax(logits_block(r0, rb), kvalid)
+                ln = lcf + guidance * (lc - lcf)
+                ln = jnp.where(kvalid, ln, -jnp.inf)
+                m = jnp.max(ln, axis=1, keepdims=True)
+                lse = jnp.log(jnp.sum(jnp.exp(ln - m), axis=1,
+                                      keepdims=True)) + m
+                r = jnp.maximum(ln - lse, LOG_CLAMP)
+                _sample_block(sched_ref, r, tok[r0:r0 + rb], out_ref,
+                              kvalid, r0=r0, num_classes=num_classes,
+                              kp=kp, sample_mode=sample_mode)
     else:
-        r = log_softmax(logits)
-        _sample(sched_ref, seed_ref, r, tok, out_ref, kvalid,
-                b=b, k_valid=k_valid, num_classes=num_classes, L=L, kp=kp,
-                sample_mode=sample_mode)
+        if sample_mode:
+            pltpu.prng_seed(seed_ref[0] + b)
+        for r0, rb in row_blocks:
+            kvalid = jax.lax.broadcasted_iota(
+                jnp.int32, (rb, kp), 1) < k_valid
+            r = log_softmax(logits_block(r0, rb), kvalid)
+            _sample_block(sched_ref, r, tok[r0:r0 + rb], out_ref, kvalid,
+                          r0=r0, num_classes=num_classes, kp=kp,
+                          sample_mode=sample_mode)
 
 
-def _sample(sched_ref, seed_ref, r, tok, out_ref, kvalid, *, b, k_valid,
-            num_classes, L, kp, sample_mode: bool = True):
-    """Analytic posterior + Gumbel-max, (L, K) layout (matches
-    models/d3pm._analytic_posterior transposed)."""
+def _sample_block(sched_ref, r, tok, out_ref, kvalid, *, r0, num_classes,
+                  kp, sample_mode: bool = True):
+    """Analytic posterior + Gumbel-max for one row block, (rb, K) layout
+    (matches models/d3pm._analytic_posterior transposed). The caller seeds
+    the core PRNG once per (batch row, branch); successive blocks continue
+    the same stream."""
     s = sched_ref
     log_ct_at, log_ct_bt, log_ct_ct = s[0, 0], s[0, 1], s[0, 2]
     log_at, log_bt, log_ct = s[0, 3], s[0, 4], s[0, 5]
     log_ct_at_p, log_ct_bt_p, log_ct_ct_p = s[0, 6], s[0, 7], s[0, 8]
     log_1m_ct_ct_p = s[0, 9]
+    rb = r.shape[0]
 
-    kcol = jax.lax.broadcasted_iota(jnp.int32, (L, kp), 1)
+    kcol = jax.lax.broadcasted_iota(jnp.int32, (rb, kp), 1)
     tok2 = tok[:, None]                       # reshape i32 BEFORE comparing:
     is_mask = tok2 == num_classes - 1         # Mosaic can't minor-dim-insert
     is_v = kcol == tok2                       # on 1-bit vectors
@@ -358,7 +477,7 @@ def _sample(sched_ref, seed_ref, r, tok, out_ref, kvalid, *, b, k_valid,
                                  log_ct_bt))
     log_qt1 = jnp.where(is_mask, log_ct,
                         jnp.where(is_v, laddexp(log_at, log_bt), log_bt))
-    log_qt1_mask = jnp.where(is_mask, 0.0, _NEG30)[:, 0]      # (L,)
+    log_qt1_mask = jnp.where(is_mask, 0.0, _NEG30)[:, 0]      # (rb,)
 
     q = jnp.where(kvalid, r - log_qt, -jnp.inf)
     mq = jnp.maximum(jnp.max(q, axis=1, keepdims=True), _NEG30)
@@ -369,11 +488,10 @@ def _sample(sched_ref, seed_ref, r, tok, out_ref, kvalid, *, b, k_valid,
     post = jnp.clip(jnp.where(kvalid, post, -jnp.inf), LOG_CLAMP, 0.0)
     post_mask = (laddexp(_NEG30 - lse[:, 0] + log_1m_ct_ct_p, log_ct_ct_p)
                  + log_qt1_mask + lse[:, 0])
-    post_mask = jnp.clip(post_mask, LOG_CLAMP, 0.0)           # (L,)
+    post_mask = jnp.clip(post_mask, LOG_CLAMP, 0.0)           # (rb,)
 
     if sample_mode:
-        pltpu.prng_seed(seed_ref[0] + b)
-        bits = pltpu.prng_random_bits((L, kp + 128))
+        bits = pltpu.prng_random_bits((rb, kp + 128))
         u = (bits >> 8).astype(jnp.float32) * (1.0 / (1 << 24))
         g = -jnp.log(-jnp.log(u + 1e-30) + 1e-30)
         score = jnp.where(kvalid, post + g[:, :kp], -jnp.inf)
@@ -383,8 +501,8 @@ def _sample(sched_ref, seed_ref, r, tok, out_ref, kvalid, *, b, k_valid,
         score_mask = post_mask
     best = jnp.argmax(score, axis=1).astype(jnp.int32)
     best_val = jnp.max(score, axis=1)
-    out_ref[0, 0] = jnp.where(score_mask > best_val,
-                              jnp.int32(num_classes - 1), best)
+    out_ref[0, 0, r0:r0 + rb] = jnp.where(
+        score_mask > best_val, jnp.int32(num_classes - 1), best)
 
 
 # ---------------------------------------------------------------------------

@@ -238,7 +238,9 @@ class Trainer:
     def _run_epoch(self, split: str, epoch: int) -> dict[str, float]:
         acc = MetricAccumulator.empty(self.loss_names())
         train = split == "train"
+        saw_batch = False
         for batch in self._batches(split, epoch):
+            saw_batch = True
             db = _device_batch(batch, self.mesh)
             rng = self.next_rng()
             if train:
@@ -254,6 +256,13 @@ class Trainer:
             else:
                 values = self.eval_step(self.state, db, rng)
             acc = acc.update(values)
+        if not saw_batch:
+            # dataset smaller than the (global) batch size yields zero
+            # batches — all-zero metrics would silently look like a perfect
+            # run (and feed the early-stop/checkpoint monitors)
+            log.warning(
+                "%s epoch %d saw ZERO batches (dataset smaller than "
+                "batch_size?); its metrics are meaningless", split, epoch)
         means = jax.device_get(acc.compute())
         out = {loss_log_name(k, split): float(v) for k, v in means.items()}
         out["epoch"] = float(epoch)

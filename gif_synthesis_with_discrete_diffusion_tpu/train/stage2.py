@@ -95,8 +95,10 @@ class Stage2Trainer(Trainer):
         # only text conditioning needs a tokenizer — make_tokenizer may
         # attempt a (best-effort) BPE-vocab download, which must not run on
         # every label/frame/null trainer build
-        self.tokenizer = (make_tokenizer(tenc.get("bpe_path"))
-                          if self._text_mode else None)
+        self.tokenizer = (make_tokenizer(
+            tenc.get("bpe_path"),
+            allow_hash=bool(tenc.get("allow_hash_tokenizer", False)))
+            if self._text_mode else None)
         self._learnable_cf = bool(
             self.model_cfg.get("generator", {})
             .get("diffusion_model", {}).get("learnable_cf", False))
@@ -175,6 +177,11 @@ class Stage2Trainer(Trainer):
                 _eval_step, autoencoder=self.autoencoder,
                 generator=self.generator, loss_dict=self.loss_dict,
                 resolution=self.resolution)))
+        self._jit_single = shared_jit(("s2_single", sig), lambda: jax.jit(
+            functools.partial(
+                _single_step_pred, autoencoder=self.autoencoder,
+                generator=self.generator, resolution=self.resolution,
+                latent_shape=self.latent_shape)))
         sampler = str(self.cfg.get("trainer", {}).get("sampler", "auto"))
         if sampler == "auto":
             sampler = ("megakernel"
@@ -213,6 +220,10 @@ class Stage2Trainer(Trainer):
             self.datamodule = orig
 
     def render_samples(self, epoch: int) -> None:
+        """Write the reference's THREE val-render artifacts per render epoch
+        (multistage_text_motion_model.py:254-281): full reverse-process
+        synthesis, the decoded single-step x0 prediction (pred_data), and
+        the ground-truth original."""
         try:
             batch = next(iter(self.datamodule.val_batches(epoch)))
         except StopIteration:
@@ -222,6 +233,11 @@ class Stage2Trainer(Trainer):
         videos = self.sample_videos(small, self.next_rng())
         render_animation(jax.device_get(videos[0]),
                          self.run_dir / f"epoch{epoch}_synthesis.gif")
+        prepared = self._prepare_batch(small)
+        db = {k: jnp.asarray(v) for k, v in prepared.items() if k != "text"}
+        single = self._jit_single(self.state, db, self.next_rng())
+        render_animation(jax.device_get(single[0]),
+                         self.run_dir / f"epoch{epoch}_single_step.gif")
         gt = preprocess_clip(jnp.asarray(small["video"]), self.resolution)
         render_animation(jax.device_get(gt[0]),
                          self.run_dir / f"epoch{epoch}_original.gif")
@@ -299,6 +315,22 @@ def _eval_step(state: Stage2State, batch, rng, *, autoencoder, generator,
                         batch, flat, rng, False)
     _, values = weighted_losses(loss_dict, {"losses": out["loss"]})
     return values
+
+
+def _single_step_pred(state: Stage2State, batch, rng, *, autoencoder,
+                      generator, resolution, latent_shape):
+    """Decode the model's one-shot x0 prediction for a batch: q_sample a
+    noisy x_t, predict x0, argmax tokens, VQ-decode — the reference's
+    'single_step' render artifact (multistage_text_motion_model.py:261-267,
+    fed by the pred_data the train step computes at dd.py:41)."""
+    video = preprocess_clip(batch["video"], resolution)
+    flat = _encode_tokens(autoencoder, state, video)
+    out, _ = _gen_apply(generator, state.gen_params, state.diffusion,
+                        batch, flat, rng, False)
+    tokens = out["pred_data"].reshape(flat.shape[0], *latent_shape)
+    return autoencoder.apply(
+        {"params": state.ae_params, "batch_stats": state.ae_batch_stats,
+         "codebook": state.ae_codebook}, tokens, method=VQVAE.decode)
 
 
 def _sample_step(state: Stage2State, batch, rng, *, autoencoder, generator,

@@ -61,26 +61,38 @@ class MetricLogger:
 
 
 class CsvLogger(MetricLogger):
-    """Append-only CSV metrics file (reference configs/logger/csv.yaml)."""
+    """Append-only CSV metrics file (reference configs/logger/csv.yaml).
+
+    Each log call APPENDS one row (O(1) per call); the header and all prior
+    rows are rewritten only when the field set grows (new metric key), which
+    happens a bounded number of times per run."""
 
     def __init__(self, save_dir: str | Path, name: str = "metrics.csv"):
         self.path = Path(save_dir) / name
         self.path.parent.mkdir(parents=True, exist_ok=True)
         self._fields: list[str] = ["step", "time"]
         self._rows: list[dict] = []
+        self._written = 0   # rows already on disk under the current header
 
     def log_metrics(self, metrics: Mapping[str, Any], step: int) -> None:
         if not _is_main_process():
             return
         row = {"step": step, "time": time.time()}
+        grew = False
         for k, v in metrics.items():
             row[k] = float(v)
             if k not in self._fields:
                 self._fields.append(k)
+                grew = True
         self._rows.append(row)
-        self._flush()
+        if grew or self._written == 0:
+            self._rewrite()
+        else:
+            with open(self.path, "a", newline="") as f:
+                csv.DictWriter(f, fieldnames=self._fields).writerow(row)
+        self._written = len(self._rows)
 
-    def _flush(self) -> None:
+    def _rewrite(self) -> None:
         with open(self.path, "w", newline="") as f:
             w = csv.DictWriter(f, fieldnames=self._fields)
             w.writeheader()

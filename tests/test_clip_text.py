@@ -203,3 +203,19 @@ def test_bpe_algorithm_golden(tmp_path):
     assert out[0, 1] == 2 * byte_vocab + 1
     assert out[0, 3] == tok.eot
     assert (out[:, 22:] == 0).all()
+
+
+def test_make_tokenizer_strict_errors_without_vocab(monkeypatch):
+    """mode=text training must not silently fall back to the non-CLIP
+    HashTokenizer: make_tokenizer(allow_hash=False) hard-errors when no
+    merges file is available, and the error names the escape hatch."""
+    import pytest
+
+    from gif_synthesis_with_discrete_diffusion_tpu.models import clip_text
+
+    monkeypatch.setattr(clip_text, "download_bpe_vocab",
+                        lambda dest=None: None)
+    with pytest.raises(RuntimeError, match="allow_hash_tokenizer"):
+        clip_text.make_tokenizer(None, allow_hash=False)
+    tok = clip_text.make_tokenizer(None, allow_hash=True)
+    assert isinstance(tok, clip_text.HashTokenizer)

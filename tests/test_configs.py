@@ -100,7 +100,8 @@ def test_nested_group_override_textencoder():
      "model.generator.textencoder.mode=text",
      "+model.generator.textencoder.width=16",
      "+model.generator.textencoder.heads=2",
-     "+model.generator.textencoder.layers=1"],
+     "+model.generator.textencoder.layers=1",
+     "model.generator.textencoder.allow_hash_tokenizer=true"],
     ["model/textencoder=label"],
     ["model/textencoder=frame"],
 ], ids=["text", "label", "frame"])

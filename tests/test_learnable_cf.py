@@ -86,7 +86,8 @@ def test_prepare_batch_derives_empty_text_mask(tmp_path):
         Stage2Trainer)
     from tests.test_stage2_train import _cfg, _dm
 
-    cond = {"mode": "text", "dim": 32, "width": 16, "heads": 2, "layers": 1}
+    cond = {"mode": "text", "dim": 32, "width": 16, "heads": 2, "layers": 1,
+            "allow_hash_tokenizer": True}
     cfg = _cfg(conditioner=cond)
     cfg["model"]["generator"]["diffusion_model"]["learnable_cf"] = True
     t = Stage2Trainer(cfg, _dm(), tmp_path / "run")

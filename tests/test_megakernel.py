@@ -94,6 +94,35 @@ def test_megakernel_step_argmax_matches_flax(setup, t_scalar):
                                   err_msg=f"t={t_scalar}")
 
 
+@pytest.mark.parametrize("fold", [False, True], ids=["perhead", "folddeN"])
+def test_tiled_paths_match_single_block(setup, monkeypatch, fold):
+    """Force every tiling loop (embedding chunks, attention query blocks,
+    sampler row blocks) at the tiny test scale and assert bit-identical
+    tokens vs the degenerate single-block configuration. At the BASELINE
+    scale (L=1024, K=4097) these loops are what keep the kernel inside
+    VMEM; here they must be pure refactors of the same math."""
+    sched, model, params = setup
+    rng = np.random.default_rng(7)
+    cond = jnp.asarray(rng.standard_normal((B, 1, COND_DIM)), jnp.float32)
+    cf = jnp.asarray(rng.standard_normal((1, 1, COND_DIM)), jnp.float32)
+    kw = dict(spatial_size=SPATIAL, n_layer=N_LAYER, n_head=N_HEAD,
+              n_embd=N_EMBD, diffusion_step=T, guidance_scale=2.0,
+              weights_dtype=jnp.float32, sample_mode=False, interpret=True)
+    want = mk.megakernel_sample_tokens(
+        jax.random.key(11), sched, params, cond, cf, B, L, **kw)
+
+    monkeypatch.setattr(mk, "_FOLD_DEN", fold)
+    monkeypatch.setattr(mk, "_ATTN_SLAB_LIMIT", 0)
+    monkeypatch.setattr(mk, "_Q_BLOCK_ROWS", L // 2)
+    monkeypatch.setattr(mk, "_ROW_SLAB_LIMIT", 0)
+    monkeypatch.setattr(mk, "_R_BLOCK_ROWS", L // 4)
+    monkeypatch.setattr(mk, "_EMB_CHUNK_LIMIT", 8)
+    monkeypatch.setattr(mk, "_EMB_CHUNK_ROWS", 8)
+    got = mk.megakernel_sample_tokens(
+        jax.random.key(11), sched, params, cond, cf, B, L, **kw)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
 def test_cross_bias_fast_path_matches_general(setup):
     """Single-token conditions take the cross-attn-as-bias fast path
     (megakernel.py: softmax over one key is identically 1); it must produce

@@ -189,7 +189,8 @@ def test_stage2_text_conditioning_end_to_end(tmp_path):
     clip_text_embedding.yaml keys (bpe_path/clip_ckpt) used to crash the
     module constructor."""
     cond = {"mode": "text", "dim": 32, "bpe_path": None, "clip_ckpt": None,
-            "width": 16, "heads": 2, "layers": 1}
+            "width": 16, "heads": 2, "layers": 1,
+            "allow_hash_tokenizer": True}
     t = Stage2Trainer(_cfg(conditioner=cond), _dm(), tmp_path / "run")
     metrics = t.fit()
     assert np.isfinite(metrics["total/train"])
@@ -200,3 +201,15 @@ def test_stage2_text_conditioning_end_to_end(tmp_path):
     videos = t.sample_videos(batch, jax.random.key(0))
     assert videos.shape == (8, 2, 16, 16, 3)
     assert np.isfinite(np.asarray(videos)).all()
+
+
+def test_stage2_render_writes_three_artifacts(tmp_path):
+    """A render epoch must produce the reference's THREE files — synthesis,
+    single-step (decoded x0 prediction), original
+    (multistage_text_motion_model.py:254-281)."""
+    t = Stage2Trainer(_cfg(max_epochs=1), _dm(), tmp_path / "run")
+    t.fit()
+    t.render_samples(3)
+    for name in ("synthesis", "single_step", "original"):
+        path = t.run_dir / f"epoch3_{name}.gif"
+        assert path.exists() and path.stat().st_size > 0, path
