@@ -62,8 +62,11 @@ _MEASURED_BASELINE_PATH = os.path.join(
 #            (23.2). Remaining step time: ~16ms self-attn (5 matmul +
 #            11 softmax VPM traffic), ~5ms QKV/MLP/logits/sampler.
 #   round 3: HONEST scale (1024 tokens, K=4097) via the tiled megakernel:
-#            76.6 ms/step @ B=32 -> 4.18 clips/sec first light; q_block
-#            128 vs 256 tie. See DESIGN.md round-3 log for A/Bs.
+#            76.6 ms/step @ B=32 first light -> 69.8 ms (4.59 clips/sec)
+#            after folding 1/sqrt(d) into q (kills a full score-slab scale
+#            pass; exact for d=4). A/B'd and rejected: q_block 128 (77.7)
+#            / 512 (70.8, tie), fold-denominator (95.1), batch 64 (4.63
+#            clips/sec, ~flat). See DESIGN.md round-3 log.
 # Real v5e hardware (197 TFLOP/s bf16, 819 GB/s) should scale these up
 # substantially.
 

@@ -166,11 +166,23 @@ def _mm(a, w):
 # block loops kick in). At L=512/K=2049 both stay single-block, preserving
 # the round-2 measured-fastest code exactly; at L=1024/K=4097 they tile.
 _ATTN_SLAB_LIMIT = 18 * 1024 * 1024   # (L, H*lk) f32 self-attn scores
-_Q_BLOCK_ROWS = 256                   # query rows per tiled attention slab
+# query rows per tiled attention slab; None = derive the largest
+# 128-multiple whose slab fits _ATTN_SLAB_LIMIT (256 at L=1024, 128 at the
+# MSRVTT L=2304). A/B at L=1024: 256 vs 128 was a tie (76.3 vs 77.7 ms).
+_Q_BLOCK_ROWS: int | None = None
 _ROW_SLAB_LIMIT = 6 * 1024 * 1024     # (L, K) f32 logits slab
 _R_BLOCK_ROWS = 256                   # rows per tiled sampler block
+
+
+def _auto_q_rows(n_head: int, lk: int) -> int:
+    return max(128, (_ATTN_SLAB_LIMIT // (n_head * lk * 4)) // 128 * 128)
 _EMB_CHUNK_LIMIT = 2056               # one-hot gather: max un-chunked table
 _EMB_CHUNK_ROWS = 2048                # ... and the chunk height beyond it
+
+# Keep the self-attention probability slab in bf16 between exp and the PV
+# matmul (halves the biggest VMEM-traffic tensor; exp itself stays f32).
+# A/B'd on chip — see DESIGN.md round-3 log before flipping.
+_PROBS_BF16 = False
 
 # Fold softmax denominators into a second small-output matmul:
 # out = (e @ Vstack) / (e @ block_sel), normalizing on the (qb, C) OUTPUT
@@ -266,12 +278,16 @@ def _kernel(sched_ref, seed_ref, tokens_ref, adaln_ref, kc_ref, vc_ref,
             0.0).astype(jnp.bfloat16)
         lq = q.shape[0]
         masked = valid_count is not None and valid_count < lk
+        # fold 1/sqrt(d) into q BEFORE the matmul: one (L, C) multiply
+        # instead of a full (L, H*lk) scale pass on the score slab (exact
+        # for the production d=4 — scale 0.5 is a power of two)
+        qs = (q * scale).astype(jnp.bfloat16)
 
         if lk <= 64:
             scores = jax.lax.dot_general(
-                q.astype(jnp.bfloat16), kstack,
+                qs, kstack,
                 dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32) * scale  # (L, H*lk)
+                preferred_element_type=jnp.float32)          # (L, H*lk)
             if masked:
                 # per-head tiled mask: lane j valid iff (j % lk) < count
                 lane = jax.lax.broadcasted_iota(
@@ -311,11 +327,13 @@ def _kernel(sched_ref, seed_ref, tokens_ref, adaln_ref, kc_ref, vc_ref,
         ones_sel = jnp.where(block, 1.0, 0.0).astype(jnp.bfloat16) \
             if fold else None
         out_blocks = []
-        for q0, qb in _blocks(lq, lq if not tiled else _Q_BLOCK_ROWS):
+        q_rows = (_Q_BLOCK_ROWS if _Q_BLOCK_ROWS is not None
+                  else _auto_q_rows(n_head, lk))
+        for q0, qb in _blocks(lq, lq if not tiled else q_rows):
             scores = jax.lax.dot_general(
-                q[q0:q0 + qb].astype(jnp.bfloat16), kstack,
+                qs[q0:q0 + qb], kstack,
                 dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32) * scale  # (qb, H*lk)
+                preferred_element_type=jnp.float32)          # (qb, H*lk)
             if fold:
                 if masked:
                     tv = (jax.lax.broadcasted_iota(
@@ -350,10 +368,12 @@ def _kernel(sched_ref, seed_ref, tokens_ref, adaln_ref, kc_ref, vc_ref,
                     blk = jnp.where(kcolv, blk, -jnp.inf)
                 m = jnp.max(blk, axis=1, keepdims=True)
                 pb = jnp.exp(blk - m)
-                blocks.append(pb / jnp.sum(pb, axis=1, keepdims=True))
+                p = pb / jnp.sum(pb, axis=1, keepdims=True)
+                blocks.append(p.astype(jnp.bfloat16) if _PROBS_BF16 else p)
             p_cat = jnp.concatenate(blocks, axis=1)          # (qb, H*lk)
             out_blocks.append(jax.lax.dot_general(
-                p_cat.astype(jnp.bfloat16), vstack,
+                p_cat if _PROBS_BF16 else p_cat.astype(jnp.bfloat16),
+                vstack,
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32))         # (qb, C)
         return (out_blocks[0] if len(out_blocks) == 1

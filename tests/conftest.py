@@ -31,3 +31,20 @@ import pytest  # noqa: E402
 @pytest.fixture(scope="session")
 def rng_seed():
     return 0
+
+
+@pytest.fixture(scope="session")
+def stage2_trained(tmp_path_factory):
+    """ONE trained tiny stage-2 trainer shared across test modules
+    (round-2 VERDICT weak #2: the suite re-derived near-identical trained
+    states in several separate fits, ~45-55s each). Tests may sample from
+    it or advance its state; none may rely on exact step counts beyond the
+    initial fit's."""
+    from gif_synthesis_with_discrete_diffusion_tpu.train.stage2 import (
+        Stage2Trainer)
+    from tests.test_stage2_train import _cfg, _dm
+
+    run = tmp_path_factory.mktemp("s2_shared") / "run"
+    t = Stage2Trainer(_cfg(), _dm(), run)
+    metrics = t.fit()
+    return t, metrics

@@ -96,12 +96,14 @@ def test_nested_group_override_textencoder():
 
 
 @pytest.mark.parametrize("overrides", [
-    ["model/textencoder=clip_text_embedding",
-     "model.generator.textencoder.mode=text",
-     "+model.generator.textencoder.width=16",
-     "+model.generator.textencoder.heads=2",
-     "+model.generator.textencoder.layers=1",
-     "model.generator.textencoder.allow_hash_tokenizer=true"],
+    pytest.param(
+        ["model/textencoder=clip_text_embedding",
+         "model.generator.textencoder.mode=text",
+         "+model.generator.textencoder.width=16",
+         "+model.generator.textencoder.heads=2",
+         "+model.generator.textencoder.layers=1",
+         "model.generator.textencoder.allow_hash_tokenizer=true"],
+        marks=pytest.mark.slow),  # CLIP-tower build ~50s on 1 core
     ["model/textencoder=label"],
     ["model/textencoder=frame"],
 ], ids=["text", "label", "frame"])

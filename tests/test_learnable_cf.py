@@ -2,6 +2,7 @@
 rows, reference dt.py:541-543) and consumed as the CF branch at sampling
 (dt.py:155 + 240-249) — i.e. not a dead parameter."""
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
@@ -28,6 +29,7 @@ def _init(model):
                       tokens, cond, train=True)
 
 
+@pytest.mark.slow  # two grad compiles ~40s on 1 core
 def test_empty_text_embed_gets_gradient_via_empty_mask():
     model = _model()
     variables = _init(model)

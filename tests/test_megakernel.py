@@ -40,7 +40,7 @@ def setup():
     return sched, model, variables["params"]
 
 
-@pytest.mark.parametrize("t_scalar", [0, 2, T - 1])
+@pytest.mark.parametrize("t_scalar", [0, T - 1])
 def test_megakernel_step_argmax_matches_flax(setup, t_scalar):
     sched, model, params = setup
     rng = np.random.default_rng(1)
@@ -94,7 +94,9 @@ def test_megakernel_step_argmax_matches_flax(setup, t_scalar):
                                   err_msg=f"t={t_scalar}")
 
 
-@pytest.mark.parametrize("fold", [False, True], ids=["perhead", "folddeN"])
+@pytest.mark.parametrize("fold", [
+    False, pytest.param(True, marks=pytest.mark.slow)],
+    ids=["perhead", "folddeN"])
 def test_tiled_paths_match_single_block(setup, monkeypatch, fold):
     """Force every tiling loop (embedding chunks, attention query blocks,
     sampler row blocks) at the tiny test scale and assert bit-identical

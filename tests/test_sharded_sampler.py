@@ -6,19 +6,20 @@ stage-2 sampler must run the kernel per device over the batch shard
 Deterministic (argmax) mode: the sharded result must equal the
 single-device run bit-for-bit."""
 import numpy as np
+import pytest
 
 import jax
 
 from gif_synthesis_with_discrete_diffusion_tpu.train.stage2 import (
-    Stage2Trainer, _sample_step)
-from tests.test_stage2_train import _cfg, _dm
+    _sample_step)
 
 
-def test_megakernel_sampler_sharded_matches_single_device(tmp_path):
+@pytest.mark.slow  # ~110s: interpret-mode kernel x2 full loops; the
+# driver's dryrun_multichip exercises this path every round regardless
+def test_megakernel_sampler_sharded_matches_single_device(stage2_trained):
     assert jax.device_count() == 8
-    t = Stage2Trainer(_cfg(), _dm(), tmp_path / "run")
+    t, _ = stage2_trained   # session-shared trained trainer (conftest.py)
     batch = t._prepare_batch(next(iter(t.datamodule.train_batches(0))))
-    t.build(batch)
     db = {k: jax.numpy.asarray(v) for k, v in batch.items() if k != "text"}
     assert int(t.mesh.shape["data"]) == 8
 

@@ -1,19 +1,21 @@
 """Stage-2 checkpoint/resume round trip (Lt buffers + codebook included)."""
+import shutil
+
 import numpy as np
 
 import jax
 
-from gif_synthesis_with_discrete_diffusion_tpu.data.synthetic import (
-    SyntheticVideoDataModule)
 from gif_synthesis_with_discrete_diffusion_tpu.train.stage2 import (
     Stage2Trainer)
-from tests.test_stage2_train import AE, _cfg, _dm
+from tests.test_stage2_train import _cfg, _dm
 
 
-def test_stage2_resume_roundtrip(tmp_path):
+def test_stage2_resume_roundtrip(stage2_trained, tmp_path):
+    # reuse the session-shared 1-epoch run (conftest.py) as the checkpoint
+    # source; copy it so the resumed run writes into its own directory
+    t1, _ = stage2_trained
     run = tmp_path / "run"
-    t1 = Stage2Trainer(_cfg(max_epochs=1), _dm(), run)
-    t1.fit()
+    shutil.copytree(t1.run_dir, run)
     lt1 = np.asarray(jax.device_get(
         t1.state.diffusion["diffusion"]["lt_count"]))
     step1 = t1.global_step

@@ -162,3 +162,34 @@ np.testing.assert_allclose(np.asarray(fused), np.asarray(plain),
                            rtol=2e-3, atol=2e-3)
 print("attention kernel ok")
 """))
+
+
+def test_megakernel_compiles_at_baseline_scale(tpu_available):
+    """The flagship kernel must Mosaic-compile AND run at the HONEST
+    problem size — 19 layers, L=1024 latent tokens, K=4097 classes
+    (reference ucf-ddiff-train.job:15) — not just the toy smoke shapes.
+    Argmax mode, 2 scan steps; ~4 min compile on the tunnel chip."""
+    _check(_run_on_tpu("""
+import numpy as np
+import jax, jax.numpy as jnp
+from gif_synthesis_with_discrete_diffusion_tpu.models import d3pm
+from gif_synthesis_with_discrete_diffusion_tpu.models.denoiser import (
+    DenoiserTransformer)
+from gif_synthesis_with_discrete_diffusion_tpu.ops import megakernel as mk
+K_CODES, L, T, B = 4096, 1024, 2, 2
+model = DenoiserTransformer(
+    num_embed=K_CODES, spatial_size=(128, 8), n_layer=19, n_embd=64,
+    n_head=16, content_seq_len=L, condition_dim=512, diffusion_step=100)
+variables = model.init(jax.random.key(0), jnp.zeros((B, L), jnp.int32),
+                       jnp.zeros((B, 1, 512)), jnp.zeros((B,), jnp.int32))
+sched = d3pm.make_schedule(T, K_CODES + 1)
+tokens = mk.megakernel_sample_tokens(
+    jax.random.key(1), sched, variables["params"], jnp.zeros((B, 1, 512)),
+    jnp.zeros((B, 1, 512)), B, L, spatial_size=(128, 8), n_layer=19,
+    n_head=16, n_embd=64, diffusion_step=100, guidance_scale=2.0,
+    sample_mode=False)
+arr = np.asarray(tokens)
+assert arr.shape == (B, L)
+assert arr.min() >= 0 and arr.max() <= K_CODES
+print("megakernel baseline-scale ok")
+""", timeout=840.0))

@@ -212,6 +212,7 @@ def test_codebook_data_dependent_init():
     assert np.isfinite(np.asarray(got["embeddings"])).all()
 
 
+@pytest.mark.slow  # bf16 conv VJP compile ~45s on 1 core; numerics-only
 def test_vqvae_bf16_train_grad():
     """Regression: dtype=bfloat16 VQ-VAE must be differentiable — with
     f32-preferred conv outputs the conv VJP paired an f32 cotangent with
