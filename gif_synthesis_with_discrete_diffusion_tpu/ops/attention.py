@@ -49,28 +49,43 @@ def sdpa_reference(q: jax.Array, k: jax.Array, v: jax.Array,
     return out.reshape(B, Lq, C)
 
 
+# largest f32 per-head (q_block, lk) score slab before query tiling kicks
+# in. Mosaic's scoped-vmem stack limit is 16MB and it keeps several slab
+# temporaries live (scores/exp/probs + the q/k/v/o blocks): a 4MB slab
+# still OOM'd at L=2304 with 22.1M scoped, so stay well under.
+_SCORE_SLAB_LIMIT = 3 * 512 * 1024
+
+
+def _q_block_rows(lq: int, lk: int) -> int:
+    if lq * lk * 4 <= _SCORE_SLAB_LIMIT:
+        return lq                       # degenerate: whole query range
+    return min(lq, max(8, (_SCORE_SLAB_LIMIT // (lk * 4)) // 8 * 8))
+
+
 def _kernel(q_ref, k_ref, v_ref, o_ref, *, n_head: int, head_dim: int,
             kv_valid: int, scale: float):
     lq = q_ref.shape[1]
     lk = k_ref.shape[1]
-    col = jax.lax.broadcasted_iota(jnp.int32, (lq, lk), 1)
-    kv_mask = col < kv_valid
+    qblk = _q_block_rows(lq, lk)
 
     for h in range(n_head):
         sl = slice(h * head_dim, (h + 1) * head_dim)
-        qh = q_ref[0, :, sl].astype(jnp.float32)      # (lq, d)
         kh = k_ref[0, :, sl].astype(jnp.float32)      # (lk, d)
         vh = v_ref[0, :, sl].astype(jnp.float32)      # (lk, d)
-        scores = jax.lax.dot_general(
-            qh, kh, dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32) * scale
-        scores = jnp.where(kv_mask, scores, -jnp.inf)
-        m = jnp.max(scores, axis=1, keepdims=True)
-        p = jnp.exp(scores - m)
-        p = p / jnp.sum(p, axis=1, keepdims=True)
-        o_ref[0, :, sl] = jax.lax.dot_general(
-            p, vh, dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32).astype(o_ref.dtype)
+        for q0 in range(0, lq, qblk):
+            qb = min(qblk, lq - q0)
+            qh = q_ref[0, q0:q0 + qb, sl].astype(jnp.float32)  # (qb, d)
+            col = jax.lax.broadcasted_iota(jnp.int32, (qb, lk), 1)
+            scores = jax.lax.dot_general(
+                qh, kh, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32) * scale
+            scores = jnp.where(col < kv_valid, scores, -jnp.inf)
+            m = jnp.max(scores, axis=1, keepdims=True)
+            p = jnp.exp(scores - m)
+            p = p / jnp.sum(p, axis=1, keepdims=True)
+            o_ref[0, q0:q0 + qb, sl] = jax.lax.dot_general(
+                p, vh, dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32).astype(o_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("n_head", "interpret"))
@@ -109,6 +124,12 @@ def fused_mha(q: jax.Array, k: jax.Array, v: jax.Array, *, n_head: int,
             flops=4 * B * Lq * Lk * C,
             bytes_accessed=4 * B * (Lq + 2 * Lk) * C + 4 * B * Lq * C,
             transcendentals=B * n_head * Lq * Lk),
+        # the default 16MB scoped-vmem stack OOMs at the MSRVTT L=2304
+        # (Mosaic keeps several slab temporaries live even with query
+        # tiling); the chip has far more VMEM — same override the
+        # megakernel uses
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=96 * 1024 * 1024),
         interpret=interpret,
     )(qp, kp_, vp)
     return out[:, :Lq, :C]

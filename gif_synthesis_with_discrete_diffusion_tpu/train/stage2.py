@@ -42,6 +42,10 @@ log = get_logger(__name__)
 
 __all__ = ["Stage2Trainer", "Stage2State", "load_stage1_checkpoint"]
 
+# largest content_seq_len the fully-fused sampling megakernel auto-selects
+# for (compile-time bound, see Stage2Trainer.build)
+MEGAKERNEL_MAX_SEQ = 1024
+
 
 @struct.dataclass
 class Stage2State:
@@ -184,8 +188,15 @@ class Stage2Trainer(Trainer):
                 latent_shape=self.latent_shape)))
         sampler = str(self.cfg.get("trainer", {}).get("sampler", "auto"))
         if sampler == "auto":
+            # The megakernel's query-block loop is statically unrolled, so
+            # its Mosaic program grows with L; beyond ~1024 tokens (the UCF
+            # BASELINE scale) compilation takes >40 min on the tunnel chip.
+            # Larger grids (MSRVTT: 48x48 = 2304) route through the XLA
+            # sampler with the tiled fused-VMEM attention instead.
+            seq = int(self.generator.d3pm_cfg["content_seq_len"])
             sampler = ("megakernel"
                        if jax.default_backend() in ("tpu", "axon")
+                       and seq <= MEGAKERNEL_MAX_SEQ
                        else "model")
         self._jit_sample = shared_jit(
             ("s2_sample", sig, sampler), lambda: jax.jit(

@@ -23,3 +23,24 @@ def test_fused_mha_matches_sdpa(B, Lq, Lk, C, H):
     want = sdpa_reference(q, k, v, H)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=2e-4, atol=2e-4)
+
+
+def test_fused_mha_query_tiling_matches_untiled(monkeypatch):
+    """At the MSRVTT scale (L=2304) the per-head score slab exceeds the
+    16MB scoped-vmem stack, so the kernel tiles queries; forced tiling at
+    tiny shapes must match the untiled path exactly."""
+    from gif_synthesis_with_discrete_diffusion_tpu.ops import attention
+
+    rng = np.random.default_rng(3)
+    q = jnp.asarray(rng.standard_normal((2, 24, 32)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((2, 16, 32)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((2, 16, 32)).astype(np.float32))
+    want = fused_mha(q, k, v, n_head=4, interpret=True)
+    monkeypatch.setattr(attention, "_SCORE_SLAB_LIMIT", 8 * 16 * 4)
+    # fused_mha is jitted: clear the trace cache so the patched limit is
+    # seen (same-shape calls would otherwise reuse the untiled trace)
+    fused_mha.clear_cache()
+    assert attention._q_block_rows(24, 16) == 8   # tiling actually on
+    got = fused_mha(q, k, v, n_head=4, interpret=True)
+    fused_mha.clear_cache()
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))

@@ -193,3 +193,26 @@ assert arr.shape == (B, L)
 assert arr.min() >= 0 and arr.max() <= K_CODES
 print("megakernel baseline-scale ok")
 """, timeout=840.0))
+
+
+def test_fused_mha_compiles_at_msrvtt_scale(tpu_available):
+    """fused_mha must Mosaic-compile at the MSRVTT grid (L=2304 = 48x48,
+    msrvtt-ddiff-train.job:16) — the scale where the default 16MB
+    scoped-vmem stack used to OOM (query tiling + raised vmem limit). The
+    sampling megakernel is gated to <=1024 tokens (compile-time bound,
+    train/stage2.py MEGAKERNEL_MAX_SEQ); this XLA+fused-attention path is
+    what serves MSRVTT-scale sampling."""
+    _check(_run_on_tpu("""
+import numpy as np
+import jax.numpy as jnp
+from gif_synthesis_with_discrete_diffusion_tpu.ops.attention import (
+    fused_mha, sdpa_reference)
+rng = np.random.default_rng(0)
+q = jnp.asarray(rng.standard_normal((2, 2304, 64)), jnp.float32)
+k = jnp.asarray(rng.standard_normal((2, 2304, 64)), jnp.float32)
+v = jnp.asarray(rng.standard_normal((2, 2304, 64)), jnp.float32)
+got = np.asarray(fused_mha(q, k, v, n_head=16))
+want = np.asarray(sdpa_reference(q, k, v, 16))
+np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-3)
+print("fused_mha msrvtt-scale ok")
+"""))
