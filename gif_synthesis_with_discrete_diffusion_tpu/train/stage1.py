@@ -59,8 +59,12 @@ def make_vqvae(model_cfg: Mapping[str, Any], mesh=None) -> VQVAE:
 def init_vqvae_state(model: VQVAE, tx: optax.GradientTransformation,
                      example_video: jax.Array, rng: jax.Array) -> VQVAEState:
     p_rng, c_rng = jax.random.split(rng)
-    variables = model.init({"params": p_rng, "codebook": c_rng},
-                           {"video": example_video}, train=True)
+    # jit the whole init: eager flax init dispatches ~100 tiny per-op XLA
+    # compiles (~20s on a 1-core CPU host); one fused compile is far cheaper
+    # and bit-equivalent (data-dependent codebook init traces fine).
+    variables = jax.jit(model.init, static_argnames=("train",))(
+        {"params": p_rng, "codebook": c_rng},
+        {"video": example_video}, train=True)
     params = variables["params"]
     return VQVAEState(
         step=jnp.zeros((), jnp.int32),

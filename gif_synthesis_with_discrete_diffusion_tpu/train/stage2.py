@@ -130,7 +130,11 @@ class Stage2Trainer(Trainer):
         video = preprocess_clip(jnp.asarray(example_batch["video"]),
                                 self.resolution)
         a_rng, g_rng, d_rng = jax.random.split(self.next_rng(), 3)
-        ae_vars = self.autoencoder.init(
+        # jit the inits: eager flax init dispatches ~100 tiny per-op XLA
+        # compiles (~35s combined on a 1-core CPU host); one fused compile
+        # per module is far cheaper and numerically identical.
+        ae_vars = jax.jit(self.autoencoder.init,
+                          static_argnames=("train",))(
             {"params": a_rng, "codebook": a_rng}, {"video": video},
             train=True)
         ckpt_paths = self.model_cfg.get("checkpoint_paths") or {}
@@ -148,7 +152,8 @@ class Stage2Trainer(Trainer):
         flat = tokens.reshape(tokens.shape[0], -1)
         dev_batch = {k: jnp.asarray(v)
                      for k, v in example_batch.items() if k != "text"}
-        gen_vars = self.generator.init(
+        gen_vars = jax.jit(self.generator.init,
+                           static_argnames=("train",))(
             {"params": g_rng, "diffusion": d_rng}, dev_batch, flat,
             train=True)
         self.state = Stage2State(
