@@ -20,7 +20,8 @@ from flax import struct
 
 from ..data.preprocess import preprocess_clip
 from ..models.vqvae import VQVAE
-from ..train.loop import Trainer, freeze_cfg, shared_jit
+from ..train.loop import (Trainer, freeze_cfg, shared_jit,
+                          shared_module_init)
 from ..train.metrics import weighted_losses
 from ..utils.logging import get_logger
 from ..utils.renderer import render_animation
@@ -59,11 +60,10 @@ def make_vqvae(model_cfg: Mapping[str, Any], mesh=None) -> VQVAE:
 def init_vqvae_state(model: VQVAE, tx: optax.GradientTransformation,
                      example_video: jax.Array, rng: jax.Array) -> VQVAEState:
     p_rng, c_rng = jax.random.split(rng)
-    # jit the whole init: eager flax init dispatches ~100 tiny per-op XLA
-    # compiles (~20s on a 1-core CPU host); one fused compile is far cheaper
-    # and bit-equivalent (data-dependent codebook init traces fine).
-    variables = jax.jit(model.init, static_argnames=("train",))(
-        {"params": p_rng, "codebook": c_rng},
+    # init via the process-wide shared-jit cache (train/loop.py): one fused
+    # compile per (module, shape), reused across equal-config trainers.
+    variables = shared_module_init(
+        model, {"params": p_rng, "codebook": c_rng},
         {"video": example_video}, train=True)
     params = variables["params"]
     return VQVAEState(

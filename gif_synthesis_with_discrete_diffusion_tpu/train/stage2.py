@@ -31,7 +31,8 @@ from ..models.clip_text import make_tokenizer
 from ..models.discrete_diffusion import (DiscreteDiffusionModel,
                                          make_discrete_diffusion)
 from ..models.vqvae import VQVAE
-from ..train.loop import Trainer, freeze_cfg, shared_jit
+from ..train.loop import (Trainer, freeze_cfg, shared_jit,
+                          shared_module_apply, shared_module_init)
 from ..train.metrics import weighted_losses
 from ..train.stage1 import make_vqvae
 from ..utils.checkpoint import CheckpointManager
@@ -130,13 +131,11 @@ class Stage2Trainer(Trainer):
         video = preprocess_clip(jnp.asarray(example_batch["video"]),
                                 self.resolution)
         a_rng, g_rng, d_rng = jax.random.split(self.next_rng(), 3)
-        # jit the inits: eager flax init dispatches ~100 tiny per-op XLA
-        # compiles (~35s combined on a 1-core CPU host); one fused compile
-        # per module is far cheaper and numerically identical.
-        ae_vars = jax.jit(self.autoencoder.init,
-                          static_argnames=("train",))(
-            {"params": a_rng, "codebook": a_rng}, {"video": video},
-            train=True)
+        # inits/encode go through the shared-jit cache (loop.py): one fused
+        # compile per (module, shape), reused across equal-config trainers
+        ae_vars = shared_module_init(
+            self.autoencoder, {"params": a_rng, "codebook": a_rng},
+            {"video": video}, train=True)
         ckpt_paths = self.model_cfg.get("checkpoint_paths") or {}
         if isinstance(ckpt_paths, Mapping) and ckpt_paths.get("autoencoder"):
             ae_vars = load_stage1_checkpoint(
@@ -144,7 +143,8 @@ class Stage2Trainer(Trainer):
             log.info("loaded stage-1 autoencoder from %s",
                      ckpt_paths["autoencoder"])
 
-        tokens = self.autoencoder.apply(
+        tokens = shared_module_apply(
+            "encode", self.autoencoder,
             {"params": ae_vars["params"],
              "batch_stats": ae_vars.get("batch_stats", {}),
              "codebook": ae_vars["codebook"]},
@@ -152,10 +152,9 @@ class Stage2Trainer(Trainer):
         flat = tokens.reshape(tokens.shape[0], -1)
         dev_batch = {k: jnp.asarray(v)
                      for k, v in example_batch.items() if k != "text"}
-        gen_vars = jax.jit(self.generator.init,
-                           static_argnames=("train",))(
-            {"params": g_rng, "diffusion": d_rng}, dev_batch, flat,
-            train=True)
+        gen_vars = shared_module_init(
+            self.generator, {"params": g_rng, "diffusion": d_rng},
+            dev_batch, flat, train=True)
         self.state = Stage2State(
             step=jnp.zeros((), jnp.int32),
             gen_params=gen_vars["params"],
