@@ -25,6 +25,15 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent XLA compilation cache: on this 1-core host compiles dominate
+# the suite, and most test programs are identical run-to-run. First (cold)
+# run pays full compile cost and populates .cache/jax (gitignored); repeat
+# runs load executables from disk instead of recompiling.
+_CACHE = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), ".cache", "jax")
+jax.config.update("jax_compilation_cache_dir", _CACHE)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 import pytest  # noqa: E402
 
 
