@@ -155,7 +155,27 @@ def _ln(x):
     return (x - mu) * jax.lax.rsqrt(var + 1e-6)
 
 
+# Run the non-attention matmuls (QKV / proj / MLP / logits) with bf16
+# ACTIVATIONS when the weights are already bf16, instead of upcasting the
+# weights to f32. Sounds like a free MXU-rate doubling; LOSES on the chip
+# (A/B at L=1024/K=4097, 20-step scan, median of 4: 71.4 vs 70.1 ms/step)
+# — these matmuls are output-size-bound like the attention ones, so the
+# f32 upcast is free and the activation downcast is a pure extra VMEM
+# pass. Kept switchable for future hardware; default OFF.
+_ACT_BF16 = False
+
+# Same idea for the one-hot embedding gather (the (L, <=2048) one-hot x
+# class-table matmuls): bf16 one-hot is exact, table bf16-rounded. Also a
+# measured tie/loss (70.7 vs 70.1 ms/step; 'both' 70.9). Default OFF.
+_EMB_BF16 = False
+
+
 def _mm(a, w):
+    if _ACT_BF16 and w.dtype == jnp.bfloat16:
+        return jax.lax.dot_general(
+            a.astype(jnp.bfloat16), w,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
     return jax.lax.dot_general(
         a, w.astype(jnp.float32),
         dimension_numbers=(((1,), (0,)), ((), ())),
@@ -226,12 +246,21 @@ def _kernel(sched_ref, seed_ref, tokens_ref, adaln_ref, kc_ref, vc_ref,
     tok = tokens_ref[0, 0]                                   # (L,)
     tab = emb_ref.shape[0]
     tchunk = tab if tab <= _EMB_CHUNK_LIMIT else _EMB_CHUNK_ROWS
+    emb_bf16 = _EMB_BF16 and wqkv_ref.dtype == jnp.bfloat16
     x = pos_ref[...]                                         # (L, C) f32
     for c0 in range(0, tab, tchunk):
         cs = min(tchunk, tab - c0)
         col = jax.lax.broadcasted_iota(jnp.int32, (L, cs), 1) + c0
-        onehot = jnp.where(col == tok[:, None], 1.0, 0.0)
-        x = x + _mm(onehot, emb_ref[c0:c0 + cs, :])
+        if emb_bf16:
+            onehot = jnp.where(col == tok[:, None], 1.0, 0.0
+                               ).astype(jnp.bfloat16)
+            x = x + jax.lax.dot_general(
+                onehot, emb_ref[c0:c0 + cs, :].astype(jnp.bfloat16),
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+        else:
+            onehot = jnp.where(col == tok[:, None], 1.0, 0.0)
+            x = x + _mm(onehot, emb_ref[c0:c0 + cs, :])
 
     scale = 1.0 / math.sqrt(d)
 
