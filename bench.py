@@ -132,14 +132,14 @@ def bench_sampling() -> dict:
 
     ae, d3pm, latent = _build_models()
     x = jnp.zeros((1, SEQ_LEN, RES, RES, 3), jnp.float32)
-    ae_vars = ae.init({"params": jax.random.key(0),
-                       "codebook": jax.random.key(1)},
-                      {"video": x}, train=True)
+    ae_vars = jax.jit(ae.init, static_argnames=("train",))(
+        {"params": jax.random.key(0), "codebook": jax.random.key(1)},
+        {"video": x}, train=True)
     tokens0 = jnp.zeros((1, d3pm.content_seq_len), jnp.int32)
     cond = jnp.zeros((1, 1, 512), jnp.float32)
-    g_vars = d3pm.init({"params": jax.random.key(2),
-                        "diffusion": jax.random.key(3)},
-                       tokens0, cond, train=True)
+    g_vars = jax.jit(d3pm.init, static_argnames=("train",))(
+        {"params": jax.random.key(2), "diffusion": jax.random.key(3)},
+        tokens0, cond, train=True)
 
     from gif_synthesis_with_discrete_diffusion_tpu.models.d3pm import (
         make_schedule)
@@ -195,9 +195,9 @@ def bench_vqvae() -> dict:
 
     ae, _, latent = _build_models()
     x = jnp.zeros((BATCH, SEQ_LEN, RES, RES, 3), jnp.float32)
-    ae_vars = ae.init({"params": jax.random.key(0),
-                       "codebook": jax.random.key(1)},
-                      {"video": x[:1]}, train=True)
+    ae_vars = jax.jit(ae.init, static_argnames=("train",))(
+        {"params": jax.random.key(0), "codebook": jax.random.key(1)},
+        {"video": x[:1]}, train=True)
     variables = {"params": ae_vars["params"],
                  "batch_stats": ae_vars.get("batch_stats", {}),
                  "codebook": ae_vars["codebook"]}
@@ -337,14 +337,14 @@ def bench_fvd_pipeline() -> dict:
 
     ae, d3pm, latent = _build_models()
     x = jnp.zeros((1, SEQ_LEN, RES, RES, 3), jnp.float32)
-    ae_vars = ae.init({"params": jax.random.key(0),
-                       "codebook": jax.random.key(1)},
-                      {"video": x}, train=True)
+    ae_vars = jax.jit(ae.init, static_argnames=("train",))(
+        {"params": jax.random.key(0), "codebook": jax.random.key(1)},
+        {"video": x}, train=True)
     tokens0 = jnp.zeros((1, d3pm.content_seq_len), jnp.int32)
     cond1 = jnp.zeros((1, 1, 512), jnp.float32)
-    g_vars = d3pm.init({"params": jax.random.key(2),
-                        "diffusion": jax.random.key(3)},
-                       tokens0, cond1, train=True)
+    g_vars = jax.jit(d3pm.init, static_argnames=("train",))(
+        {"params": jax.random.key(2), "diffusion": jax.random.key(3)},
+        tokens0, cond1, train=True)
     sched = make_schedule(DIFFUSION_STEPS, N_CODES + 1)
     variables = {"params": ae_vars["params"],
                  "batch_stats": ae_vars.get("batch_stats", {}),
