@@ -288,8 +288,12 @@ def bench_train_step2() -> dict:
                                    "dim": 512},
                    "diffusion_model": {
                        "diffusion_step": DIFFUSION_STEPS,
+                       # bf16 denoiser compute is the TPU-native production
+                       # setting (f32 params; numerics tested in
+                       # tests/test_denoiser.py): +~30% steps/sec
                        "transformer": {"n_layer": 19, "n_embd": 64,
-                                       "n_head": 16, "condition_dim": 512},
+                                       "n_head": 16, "condition_dim": 512,
+                                       "dtype": "bfloat16"},
                    },
                },
                "autoencoder": {"embedding_dim": 128, "n_codes": N_CODES,
@@ -316,7 +320,8 @@ def bench_train_step2() -> dict:
             float(values["total"])
             times.append(time.perf_counter() - t0)
         dt = float(np.median(times))
-    return {"metric": "stage-2 D3PM train steps/sec (batch 16, label cond)",
+    return {"metric": ("stage-2 D3PM train steps/sec (batch 16, label "
+                       "cond, bf16 compute)"),
             "value": round(1.0 / dt, 3), "unit": "steps/sec/chip",
             "vs_baseline": 0.0}
 
