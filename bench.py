@@ -80,10 +80,18 @@ DIFFUSION_STEPS = 100
 
 def apply_config(name: str) -> None:
     """Select the benchmark problem size (module-level, call before any
-    model build). 'honest' = BASELINE config; 'half' = round-1/2 row."""
-    global N_CODES, DOWNSAMPLE
+    model build). 'honest' = BASELINE config; 'half' = round-1/2 row;
+    'msrvtt' = the text-conditioned job's grid (msrvtt-ddiff-train.job:16:
+    n_codes=4096, downsample [1,8,8], content_spatial_size [48,48] ->
+    16f 96px clips, 16x12x12 = 2304 latent tokens). Above the megakernel's
+    1024-token gate sampling routes through the XLA denoiser with the
+    query-tiled fused_mha (ops/attention.py), so batch/iters shrink to keep
+    the run bounded."""
+    global N_CODES, DOWNSAMPLE, RES, BATCH
     if name == "half":
         N_CODES, DOWNSAMPLE = 2048, (2, 8, 8)
+    elif name == "msrvtt":
+        N_CODES, DOWNSAMPLE, RES, BATCH = 4096, (1, 8, 8), 96, 2
     elif name != "honest":
         raise ValueError(f"unknown --config {name!r}")
 
@@ -147,15 +155,30 @@ def bench_sampling() -> dict:
         megakernel_sample_tokens)
 
     sched = make_schedule(DIFFUSION_STEPS, N_CODES + 1)
+    from gif_synthesis_with_discrete_diffusion_tpu.train.stage2 import (
+        MEGAKERNEL_MAX_SEQ)
+    from gif_synthesis_with_discrete_diffusion_tpu.models.discrete_diffusion \
+        import D3PM
+    use_megakernel = d3pm.content_seq_len <= MEGAKERNEL_MAX_SEQ
 
     def sample(params, diffusion, ae_vars, cond, rng):
-        # megakernel: entire denoiser+CFG+posterior+Gumbel step fused in
-        # VMEM (ops/megakernel.py) — 3.2x the unfused scan on v5e
-        tokens = megakernel_sample_tokens(
-            rng, sched, params["transformer"], cond, jnp.zeros_like(cond),
-            BATCH, d3pm.content_seq_len, spatial_size=d3pm.spatial_size,
-            n_layer=d3pm.n_layer, n_head=d3pm.n_head, n_embd=d3pm.n_embd,
-            diffusion_step=DIFFUSION_STEPS, guidance_scale=2.0)
+        if use_megakernel:
+            # megakernel: entire denoiser+CFG+posterior+Gumbel step fused
+            # in VMEM (ops/megakernel.py) — 3.2x the unfused scan on v5e
+            tokens = megakernel_sample_tokens(
+                rng, sched, params["transformer"], cond,
+                jnp.zeros_like(cond), BATCH, d3pm.content_seq_len,
+                spatial_size=d3pm.spatial_size, n_layer=d3pm.n_layer,
+                n_head=d3pm.n_head, n_embd=d3pm.n_embd,
+                diffusion_step=DIFFUSION_STEPS, guidance_scale=2.0)
+        else:
+            # beyond the megakernel's compile-time gate (MSRVTT grid):
+            # the production route — XLA denoiser with fused_mha + the
+            # per-step fused posterior/Gumbel kernel (sampler_kernel.py)
+            tokens = d3pm.apply(
+                {"params": params, "diffusion": diffusion}, cond,
+                jnp.zeros_like(cond), BATCH, method=D3PM.sample,
+                rngs={"diffusion": rng})
         grid = tokens.reshape(BATCH, *latent)
         video = ae.apply(ae_vars, grid, method=VQVAE.decode)
         # scalar checksum: forces full execution but transfers 4 bytes
@@ -171,7 +194,7 @@ def bench_sampling() -> dict:
 
     float(fn(*args, jax.random.key(10)))  # warmup + compile
     times = []
-    for i in range(5):
+    for i in range(5 if use_megakernel else 2):   # msrvtt runs are ~100s
         t0 = time.perf_counter()
         float(fn(*args, jax.random.key(20 + i)))
         times.append(time.perf_counter() - t0)
@@ -179,9 +202,10 @@ def bench_sampling() -> dict:
     clips_per_sec = BATCH / dt
     seq = int(np.prod([s // d for s, d in
                        zip((SEQ_LEN, RES, RES), DOWNSAMPLE)]))
+    route = "megakernel" if use_megakernel else "xla+fused_mha"
     return {
-        "metric": (f"sampled clips/sec/chip (100-step D3PM, 16f 64px, "
-                   f"{seq} tok, K={N_CODES + 1}, CFG 2)"),
+        "metric": (f"sampled clips/sec/chip (100-step D3PM, 16f {RES}px, "
+                   f"{seq} tok, K={N_CODES + 1}, CFG 2, {route})"),
         "value": round(clips_per_sec, 3),
         "unit": "clips/sec/chip",
         **_vs_baseline_fields(clips_per_sec),
@@ -419,7 +443,7 @@ def main():
                                  "train_step128", "train_step2",
                                  "fvd_pipeline"])
     parser.add_argument("--config", default="honest",
-                        choices=["honest", "half"],
+                        choices=["honest", "half", "msrvtt"],
                         help="problem size: honest=BASELINE (1024 tok, "
                              "K=4097); half=round-1/2 row (512 tok, K=2049)")
     args = parser.parse_args()

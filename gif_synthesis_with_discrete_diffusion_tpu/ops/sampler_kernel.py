@@ -191,6 +191,12 @@ def fused_sample_step(logits2: jax.Array, tokens: jax.Array,
         ],
         out_specs=out_specs,
         out_shape=out_shapes,
+        # the kernel's live temporaries are ~19 (kp, 128) f32 tiles; at the
+        # honest K=4097 (kp=4104) that is ~40 MB — over Mosaic's default
+        # 34 MB scoped-vmem budget (fine at the 2049-class half config).
+        # Same raised ceiling as ops/megakernel.py / fused_mha.
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(sched_row.astype(jnp.float32).reshape(1, 10),
       jnp.asarray(seed, jnp.int32).reshape(1), logits_c, logits_cf, tokens_p)

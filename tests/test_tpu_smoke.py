@@ -216,3 +216,34 @@ want = np.asarray(sdpa_reference(q, k, v, 16))
 np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-3)
 print("fused_mha msrvtt-scale ok")
 """))
+
+
+def test_sampler_kernel_compiles_at_honest_k(tpu_available):
+    """fused_sample_step must Mosaic-compile at the honest class count
+    (K=4097; kp=4104): its ~19 live (kp, 128) f32 temporaries are ~40 MB,
+    over Mosaic's default 34 MB scoped-vmem stack (the 2049-class half
+    config fit, so this only surfaced at the MSRVTT/honest vocab). The
+    kernel serves every non-megakernel sampling path (stage2 'model'
+    sampler, MSRVTT grids). Posterior equality vs the jnp path is covered
+    on CPU (tests/test_sampler_kernel.py); here: compile + range check."""
+    _check(_run_on_tpu("""
+import numpy as np
+import jax, jax.numpy as jnp
+from gif_synthesis_with_discrete_diffusion_tpu.ops.sampler_kernel import (
+    fused_sample_step)
+from gif_synthesis_with_discrete_diffusion_tpu.models.d3pm import (
+    make_schedule)
+from gif_synthesis_with_discrete_diffusion_tpu.ops.sampler_kernel import (
+    schedule_rows)
+K, L, B = 4097, 2304, 2
+sched = make_schedule(4, K)
+rows = schedule_rows(sched)
+rng = np.random.default_rng(0)
+logits2 = jnp.asarray(rng.standard_normal((2 * B, K - 1, L)), jnp.float32)
+tokens = jnp.full((B, L), K - 1, jnp.int32)
+new = np.asarray(fused_sample_step(
+    logits2, tokens, rows[3], jnp.int32(7), guidance=2.0, num_classes=K))
+assert new.shape == (B, L)
+assert new.min() >= 0 and new.max() <= K - 1
+print("sampler kernel honest-K ok")
+"""))
