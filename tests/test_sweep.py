@@ -40,6 +40,7 @@ def test_random_trials_ranges_and_log():
     assert max(lrs) / min(lrs) > 10
 
 
+@pytest.mark.slow  # two tiny fits (~20s warm); helpers above stay fast
 @pytest.mark.filterwarnings("ignore")
 def test_sweep_end_to_end_two_trials(tmp_path, monkeypatch, capsys):
     """Grid over seed only — two full (tiny) train tasks, no recompiles —
