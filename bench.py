@@ -98,21 +98,31 @@ def apply_config(name: str) -> None:
 
 
 def _vs_baseline_fields(clips_per_sec: float) -> dict:
-    """vs_baseline from the measured torch-CPU artifact when present,
-    falling back to the documented GPU estimate (see module docstring)."""
+    """vs_baseline from the measured torch-CPU artifact when present AND
+    measured at the CURRENT problem size (tokens+codes must match — the
+    msrvtt grid has no measured denominator: one 100-step torch-CPU clip
+    at 2304 tokens would take ~an hour on this 1-core host), falling back
+    to the documented GPU estimate (see module docstring)."""
     fields = {"vs_pytorch_gpu_estimate": round(
         clips_per_sec / ESTIMATED_PYTORCH_GPU_CLIPS_PER_SEC, 3)}
+    seq = int(np.prod([s // d for s, d in
+                       zip((SEQ_LEN, RES, RES), DOWNSAMPLE)]))
     try:
         with open(_MEASURED_BASELINE_PATH) as f:
             measured = json.load(f)
+        mcfg = measured.get("config") or {}
+        if (int(mcfg.get("tokens", -1)) != seq
+                or int(mcfg.get("codes", -1)) != N_CODES):
+            raise ValueError("artifact measured at a different config")
         torch_cps = float(measured["torch_cpu_clips_per_sec"])
         fields["vs_baseline"] = round(clips_per_sec / torch_cps, 3)
         fields["baseline_source"] = (
             f"measured torch CPU {torch_cps} clips/sec, "
-            f"config {measured.get('config')} (BASELINE_MEASURED.json)")
+            f"config {mcfg} (BASELINE_MEASURED.json)")
     except (OSError, KeyError, ValueError, TypeError):
         fields["vs_baseline"] = fields["vs_pytorch_gpu_estimate"]
-        fields["baseline_source"] = "pytorch GPU estimate (no artifact)"
+        fields["baseline_source"] = (
+            "pytorch GPU estimate (no measured artifact at this config)")
     return fields
 
 
