@@ -48,8 +48,10 @@ print("devices:", len(jax.devices()))
 
 @pytest.fixture(scope="module")
 def tpu_available():
+    # normal tunnel backend init is ~40-90s; a wedged tunnel hangs 20+ min,
+    # so 300s separates "slow but alive" from "skip the tier"
     try:
-        r = _run_on_tpu(_PROBE, timeout=120.0)
+        r = _run_on_tpu(_PROBE, timeout=300.0)
     except subprocess.TimeoutExpired:
         pytest.skip("TPU backend init timed out (tunnel wedged)")
     if r.returncode != 0:
