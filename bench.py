@@ -88,41 +88,49 @@ def apply_config(name: str) -> None:
     query-tiled fused_mha (ops/attention.py), so batch/iters shrink to keep
     the run bounded."""
     global N_CODES, DOWNSAMPLE, RES, BATCH
-    if name == "half":
-        N_CODES, DOWNSAMPLE = 2048, (2, 8, 8)
+    if name == "honest":
+        N_CODES, DOWNSAMPLE, RES, BATCH = 4096, (1, 8, 8), 64, 32
+    elif name == "half":
+        N_CODES, DOWNSAMPLE, RES, BATCH = 2048, (2, 8, 8), 64, 32
     elif name == "msrvtt":
         # batch A/B on the chip: B=2 0.570 / B=8 0.596 clips/sec
         N_CODES, DOWNSAMPLE, RES, BATCH = 4096, (1, 8, 8), 96, 8
-    elif name != "honest":
+    else:
         raise ValueError(f"unknown --config {name!r}")
 
 
 def _vs_baseline_fields(clips_per_sec: float) -> dict:
-    """vs_baseline from the measured torch-CPU artifact when present AND
-    measured at the CURRENT problem size (tokens+codes must match — the
-    msrvtt grid has no measured denominator: one 100-step torch-CPU clip
-    at 2304 tokens would take ~an hour on this 1-core host), falling back
-    to the documented GPU estimate (see module docstring)."""
+    """vs_baseline from a measured torch-CPU artifact (any
+    ``BASELINE_MEASURED*.json`` next to this file, produced by
+    scripts/measure_torch_baseline.py) whose recorded config matches the
+    CURRENT problem size (tokens+codes), falling back to the documented
+    GPU estimate (see module docstring)."""
+    import glob
+
     fields = {"vs_pytorch_gpu_estimate": round(
         clips_per_sec / ESTIMATED_PYTORCH_GPU_CLIPS_PER_SEC, 3)}
     seq = int(np.prod([s // d for s, d in
                        zip((SEQ_LEN, RES, RES), DOWNSAMPLE)]))
-    try:
-        with open(_MEASURED_BASELINE_PATH) as f:
-            measured = json.load(f)
-        mcfg = measured.get("config") or {}
-        if (int(mcfg.get("tokens", -1)) != seq
-                or int(mcfg.get("codes", -1)) != N_CODES):
-            raise ValueError("artifact measured at a different config")
-        torch_cps = float(measured["torch_cpu_clips_per_sec"])
-        fields["vs_baseline"] = round(clips_per_sec / torch_cps, 3)
-        fields["baseline_source"] = (
-            f"measured torch CPU {torch_cps} clips/sec, "
-            f"config {mcfg} (BASELINE_MEASURED.json)")
-    except (OSError, KeyError, ValueError, TypeError):
-        fields["vs_baseline"] = fields["vs_pytorch_gpu_estimate"]
-        fields["baseline_source"] = (
-            "pytorch GPU estimate (no measured artifact at this config)")
+    pattern = _MEASURED_BASELINE_PATH.replace(".json", "*.json")
+    for path in sorted(glob.glob(pattern)):
+        try:
+            with open(path) as f:
+                measured = json.load(f)
+            mcfg = measured.get("config") or {}
+            if (int(mcfg.get("tokens", -1)) != seq
+                    or int(mcfg.get("codes", -1)) != N_CODES):
+                continue
+            torch_cps = float(measured["torch_cpu_clips_per_sec"])
+            fields["vs_baseline"] = round(clips_per_sec / torch_cps, 3)
+            fields["baseline_source"] = (
+                f"measured torch CPU {torch_cps} clips/sec, "
+                f"config {mcfg} ({os.path.basename(path)})")
+            return fields
+        except (OSError, KeyError, ValueError, TypeError):
+            continue
+    fields["vs_baseline"] = fields["vs_pytorch_gpu_estimate"]
+    fields["baseline_source"] = (
+        "pytorch GPU estimate (no measured artifact at this config)")
     return fields
 
 

@@ -35,6 +35,31 @@ def test_vs_baseline_measured_only_at_matching_config():
     assert "estimate" in f["baseline_source"]
 
 
+def test_vs_baseline_picks_matching_artifact_from_glob(tmp_path, monkeypatch):
+    # a second BASELINE_MEASURED_*.json measured at the msrvtt grid is
+    # picked up for that config and ignored for the honest config
+    root = os.path.dirname(bench._MEASURED_BASELINE_PATH)
+    with open(bench._MEASURED_BASELINE_PATH) as f:
+        art = json.load(f)
+    art["config"]["tokens"] = 2304
+    art["torch_cpu_clips_per_sec"] = 0.0004
+    extra = os.path.join(root, "BASELINE_MEASURED_2304.json")
+    with open(extra, "w") as f:
+        json.dump(art, f)
+    try:
+        bench.apply_config("msrvtt")
+        f = bench._vs_baseline_fields(0.6)
+        assert "BASELINE_MEASURED_2304.json" in f["baseline_source"]
+        assert f["vs_baseline"] == round(0.6 / 0.0004, 3)
+        # apply_config('honest') must RESET the globals (it was once a
+        # no-op, so a prior msrvtt apply leaked its problem size)
+        bench.apply_config("honest")
+        f = bench._vs_baseline_fields(4.67)
+        assert "(BASELINE_MEASURED.json)" in f["baseline_source"]
+    finally:
+        os.remove(extra)
+
+
 def test_watchdog_returns_on_live_backend():
     # conftest forces the CPU platform, which always initializes
     bench._backend_watchdog(timeout_s=120.0)
