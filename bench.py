@@ -145,8 +145,14 @@ def _build_models():
     ae = VQVAE(embedding_dim=128, n_codes=N_CODES, n_hiddens=256,
                n_res_layers=2, downsample=DOWNSAMPLE,
                sequence_length=SEQ_LEN, resolution=RES)
+    # factorized pos-emb grid: the reference job lines set
+    # content_spatial_size=[32,32] (1024 tok, ucf-ddiff-train.job:15) /
+    # [48,48] (2304 tok, msrvtt-ddiff-train.job:16); same compute cost as
+    # any h*w=seq split, kept literal for parity
+    spatial = {1024: (32, 32), 2304: (48, 48)}.get(
+        seq, (latent[0] * latent[1], latent[2]))
     d3pm = D3PM(num_embed=N_CODES, content_seq_len=seq,
-                spatial_size=(latent[0] * latent[1], latent[2]),
+                spatial_size=spatial,
                 diffusion_step=DIFFUSION_STEPS, guidance_scale=2.0,
                 n_layer=19, n_embd=64, n_head=16, condition_dim=512)
     return ae, d3pm, latent

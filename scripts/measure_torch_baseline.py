@@ -354,8 +354,8 @@ def main():
         "host": {"machine": platform.machine(),
                  "cpus": os.cpu_count(),
                  "torch": torch.__version__},
-        "torch_cpu_clips_per_sec": round(torch_cps, 4),
-        "jax_cpu_clips_per_sec": (round(jax_cps, 4)
+        "torch_cpu_clips_per_sec": round(torch_cps, 6),
+        "jax_cpu_clips_per_sec": (round(jax_cps, 6)
                                   if jax_cps is not None else None),
         "jax_over_torch_cpu": (round(jax_cps / torch_cps, 3)
                                if jax_cps else None),
