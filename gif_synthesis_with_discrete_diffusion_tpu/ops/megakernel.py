@@ -11,8 +11,13 @@ in HBM — ~1GB+ of traffic per step that dwarfs the actual FLOPs. This
 
 reading only the (stacked, bf16) layer weights + the (B, L) tokens and
 writing only the new (B, L) tokens. HBM traffic per step drops from ~1GB to
-~10MB. Grid is (B, n_branches): the conditional branch parks its logits in a
-persistent VMEM scratch; the unconditional branch combines, samples, writes.
+~10MB. Grid is (B, n_branches): the conditional branch parks its FINAL
+HIDDEN STATES (L, C) in a persistent VMEM scratch; the unconditional branch
+recomputes the conditional logits per row block from them (same matmul the
+conditional branch would have run — identical FLOPs, 64x smaller scratch
+than parking the (L, K) logits, which is what unlocks the MSRVTT L=2304
+grid where a logits scratch alone would be 37.8 MB), then combines,
+samples, writes.
 
 At the BASELINE problem size (L=1024 latent tokens, n_codes=4096 ->
 K=4097 classes; reference ucf-ddiff-train.job:15) the naive single-block
@@ -27,7 +32,8 @@ single-block code at the small scale):
   * logits -> log_softmax -> CFG combine -> posterior -> Gumbel runs per
     row block of ``_R_BLOCK_ROWS`` (every op after attention is
     row-independent), so the (L, K) logits are never materialized at once;
-    the persistent CFG scratch keeps raw logits and is filled blockwise.
+    both branches' logits are produced blockwise from (L, C) hidden states
+    (the conditional branch's via the persistent VMEM scratch).
 
 Step-invariant work is hoisted OUT of the kernel (and of the 100-step scan
 where possible): AdaLN scale/shift for the current t, the cross-attention
@@ -466,8 +472,10 @@ def _kernel(sched_ref, seed_ref, tokens_ref, adaln_ref, kc_ref, vc_ref,
     if use_cfg:
         @pl.when(br == 0)
         def _store_cond():
-            for r0, rb in row_blocks:
-                lc_scratch[r0:r0 + rb, :] = logits_block(r0, rb)
+            # park only the (L, C) final hidden states; the conditional
+            # logits are recomputed blockwise by branch 1 (same matmul,
+            # identical bits, 64x less scratch than parking (L, K) logits)
+            lc_scratch[...] = h
 
         @pl.when(br == 1)
         def _combine_and_sample():
@@ -476,7 +484,9 @@ def _kernel(sched_ref, seed_ref, tokens_ref, adaln_ref, kc_ref, vc_ref,
             for r0, rb in row_blocks:
                 kvalid = jax.lax.broadcasted_iota(
                     jnp.int32, (rb, kp), 1) < k_valid
-                lc = log_softmax(lc_scratch[r0:r0 + rb, :], kvalid)
+                lc = log_softmax(
+                    _mm(lc_scratch[r0:r0 + rb, :], wlog_ref[...])
+                    + blog_ref[...], kvalid)
                 lcf = log_softmax(logits_block(r0, rb), kvalid)
                 ln = lcf + guidance * (lc - lcf)
                 ln = jnp.where(kvalid, ln, -jnp.inf)
@@ -613,7 +623,7 @@ def _megakernel_step(packed, tokens, adaln, kc, vc, pos, sched_row, seed, *,
         out_specs=pl.BlockSpec((1, 1, L), lambda i, j: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, 1, L), jnp.int32),
-        scratch_shapes=[pltpu.VMEM((L, kp), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((L, n_embd), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,

@@ -23,41 +23,44 @@ def test_vs_baseline_measured_only_at_matching_config():
     bench.apply_config("honest")
     f = bench._vs_baseline_fields(4.0)
     assert "measured torch CPU" in f["baseline_source"]
+    assert "(BASELINE_MEASURED.json)" in f["baseline_source"]
     assert f["vs_baseline"] != f["vs_pytorch_gpu_estimate"]
 
-    bench.apply_config("msrvtt")   # 2304 tokens: no measured artifact
+    bench.apply_config("msrvtt")   # 2304 tokens: its own measured artifact
     f = bench._vs_baseline_fields(0.5)
-    assert "estimate" in f["baseline_source"]
-    assert f["vs_baseline"] == f["vs_pytorch_gpu_estimate"]
+    assert "(BASELINE_MEASURED_2304.json)" in f["baseline_source"]
 
-    bench.apply_config("half")     # 512 tok / 2049 classes: mismatch too
+    bench.apply_config("half")     # 512 tok / 2049 classes: no artifact
     f = bench._vs_baseline_fields(10.0)
     assert "estimate" in f["baseline_source"]
+    assert f["vs_baseline"] == f["vs_pytorch_gpu_estimate"]
 
 
 def test_vs_baseline_picks_matching_artifact_from_glob(tmp_path, monkeypatch):
     # a second BASELINE_MEASURED_*.json measured at the msrvtt grid is
-    # picked up for that config and ignored for the honest config
-    root = os.path.dirname(bench._MEASURED_BASELINE_PATH)
+    # picked up for that config and ignored for the honest config. Runs
+    # against a tmp_path COPY of the artifacts — an earlier version wrote
+    # into the repo root and deleted the real committed
+    # BASELINE_MEASURED_2304.json on cleanup.
     with open(bench._MEASURED_BASELINE_PATH) as f:
         art = json.load(f)
+    with open(tmp_path / "BASELINE_MEASURED.json", "w") as f:
+        json.dump(art, f)
     art["config"]["tokens"] = 2304
     art["torch_cpu_clips_per_sec"] = 0.0004
-    extra = os.path.join(root, "BASELINE_MEASURED_2304.json")
-    with open(extra, "w") as f:
+    with open(tmp_path / "BASELINE_MEASURED_2304.json", "w") as f:
         json.dump(art, f)
-    try:
-        bench.apply_config("msrvtt")
-        f = bench._vs_baseline_fields(0.6)
-        assert "BASELINE_MEASURED_2304.json" in f["baseline_source"]
-        assert f["vs_baseline"] == round(0.6 / 0.0004, 3)
-        # apply_config('honest') must RESET the globals (it was once a
-        # no-op, so a prior msrvtt apply leaked its problem size)
-        bench.apply_config("honest")
-        f = bench._vs_baseline_fields(4.67)
-        assert "(BASELINE_MEASURED.json)" in f["baseline_source"]
-    finally:
-        os.remove(extra)
+    monkeypatch.setattr(bench, "_MEASURED_BASELINE_PATH",
+                        str(tmp_path / "BASELINE_MEASURED.json"))
+    bench.apply_config("msrvtt")
+    f = bench._vs_baseline_fields(0.6)
+    assert "BASELINE_MEASURED_2304.json" in f["baseline_source"]
+    assert f["vs_baseline"] == round(0.6 / 0.0004, 3)
+    # apply_config('honest') must RESET the globals (it was once a
+    # no-op, so a prior msrvtt apply leaked its problem size)
+    bench.apply_config("honest")
+    f = bench._vs_baseline_fields(4.67)
+    assert "(BASELINE_MEASURED.json)" in f["baseline_source"]
 
 
 def test_watchdog_returns_on_live_backend():
