@@ -210,6 +210,20 @@ _EMB_CHUNK_ROWS = 2048                # ... and the chunk height beyond it
 # A/B'd on chip — see DESIGN.md round-3 log before flipping.
 _PROBS_BF16 = False
 
+# Large-lk (self-attention) per-head softmax via a (qb, H, lk) major-dim
+# split + one 3D reduce instead of H unrolled (qb, lk) slices. Bit-equal
+# math; ~H-fold smaller Mosaic program per query block (the unrolled slice
+# chain is what blew the L=2304/18-q-block compile). Runtime A/B on chip
+# before flipping the default.
+_HEAD_REDUCE_3D = False
+
+# Key-length at or below which attention takes the vectorized small-lk
+# softmax (one exp over the full (L, H*lk) slab + block-diag-ones
+# denominator matmul) instead of the per-head / query-blocked large-lk
+# path. Module-level so tests can force the large-lk branch at tiny
+# shapes (production self-attention always has lk = L > 64).
+_SMALL_LK_MAX = 64
+
 # Fold softmax denominators into a second small-output matmul:
 # out = (e @ Vstack) / (e @ block_sel), normalizing on the (qb, C) OUTPUT
 # instead of dividing the (qb, H*lk) slab. Sounds like fewer passes; LOSES
@@ -318,7 +332,7 @@ def _kernel(sched_ref, seed_ref, tokens_ref, adaln_ref, kc_ref, vc_ref,
         # for the production d=4 — scale 0.5 is a power of two)
         qs = (q * scale).astype(jnp.bfloat16)
 
-        if lk <= 64:
+        if lk <= _SMALL_LK_MAX:
             scores = jax.lax.dot_general(
                 qs, kstack,
                 dimension_numbers=(((1,), (1,)), ((), ())),
@@ -394,18 +408,39 @@ def _kernel(sched_ref, seed_ref, tokens_ref, adaln_ref, kc_ref, vc_ref,
                     preferred_element_type=jnp.float32)      # (qb, C)
                 out_blocks.append(num / den)
                 continue
-            blocks = []
-            for h in range(n_head):
-                blk = scores[:, h * lk:(h + 1) * lk]
+            if _HEAD_REDUCE_3D:
+                # per-head softmax via a major-dim split instead of H
+                # unrolled slices: (qb, H*lk) -> (qb, H, lk) keeps lk the
+                # minor (tile-aligned) dim, so the reshape is layout-free
+                # and the whole softmax is 3 ops regardless of H. Shrinks
+                # the Mosaic program ~H-fold per query block (the unrolled
+                # slice chain is what blew the L=2304 compile at 18
+                # q-blocks); runtime A/B pending on the chip.
+                s3 = scores.reshape(qb, n_head, lk)
                 if masked:
-                    kcolv = jax.lax.broadcasted_iota(
-                        jnp.int32, (qb, lk), 1) < valid_count
-                    blk = jnp.where(kcolv, blk, -jnp.inf)
-                m = jnp.max(blk, axis=1, keepdims=True)
-                pb = jnp.exp(blk - m)
-                p = pb / jnp.sum(pb, axis=1, keepdims=True)
-                blocks.append(p.astype(jnp.bfloat16) if _PROBS_BF16 else p)
-            p_cat = jnp.concatenate(blocks, axis=1)          # (qb, H*lk)
+                    kcolv3 = jax.lax.broadcasted_iota(
+                        jnp.int32, (qb, n_head, lk), 2) < valid_count
+                    s3 = jnp.where(kcolv3, s3, -jnp.inf)
+                m3 = jnp.max(s3, axis=2, keepdims=True)
+                p3 = jnp.exp(s3 - m3)
+                p3 = p3 / jnp.sum(p3, axis=2, keepdims=True)
+                p_cat = p3.reshape(qb, n_head * lk)
+                if _PROBS_BF16:
+                    p_cat = p_cat.astype(jnp.bfloat16)
+            else:
+                blocks = []
+                for h in range(n_head):
+                    blk = scores[:, h * lk:(h + 1) * lk]
+                    if masked:
+                        kcolv = jax.lax.broadcasted_iota(
+                            jnp.int32, (qb, lk), 1) < valid_count
+                        blk = jnp.where(kcolv, blk, -jnp.inf)
+                    m = jnp.max(blk, axis=1, keepdims=True)
+                    pb = jnp.exp(blk - m)
+                    p = pb / jnp.sum(pb, axis=1, keepdims=True)
+                    blocks.append(p.astype(jnp.bfloat16) if _PROBS_BF16
+                                  else p)
+                p_cat = jnp.concatenate(blocks, axis=1)      # (qb, H*lk)
             out_blocks.append(jax.lax.dot_general(
                 p_cat if _PROBS_BF16 else p_cat.astype(jnp.bfloat16),
                 vstack,

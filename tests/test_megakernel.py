@@ -94,15 +94,26 @@ def test_megakernel_step_argmax_matches_flax(setup, t_scalar):
                                   err_msg=f"t={t_scalar}")
 
 
-@pytest.mark.parametrize("fold", [
-    False, pytest.param(True, marks=pytest.mark.slow)],
-    ids=["perhead", "folddeN"])
-def test_tiled_paths_match_single_block(setup, monkeypatch, fold):
+@pytest.mark.parametrize("fold,head3d", [
+    (False, False),
+    pytest.param(True, False, marks=pytest.mark.slow, id="folddeN"),
+    (False, True)],
+    ids=["perhead", "folddeN", "head3d"])
+def test_tiled_paths_match_single_block(setup, monkeypatch, fold, head3d):
     """Force every tiling loop (embedding chunks, attention query blocks,
     sampler row blocks) at the tiny test scale and assert bit-identical
     tokens vs the degenerate single-block configuration. At the BASELINE
     scale (L=1024, K=4097) these loops are what keep the kernel inside
-    VMEM; here they must be pure refactors of the same math."""
+    VMEM; here they must be pure refactors of the same math.
+
+    ``_SMALL_LK_MAX = 0`` forces the LARGE-lk branch (the production
+    self-attention path at L >= 1024, and its masked variant for the
+    cross-attention here) which would otherwise be unreachable at the
+    L=16 test scale — including the ``_HEAD_REDUCE_3D`` softmax variant.
+
+    Not bit-identical to the small-lk baseline in general (different
+    reduction orders), so the oracle is the flax denoiser argmax check
+    below, plus large-vs-large equality across the softmax variants."""
     sched, model, params = setup
     rng = np.random.default_rng(7)
     cond = jnp.asarray(rng.standard_normal((B, 1, COND_DIM)), jnp.float32)
@@ -114,6 +125,8 @@ def test_tiled_paths_match_single_block(setup, monkeypatch, fold):
         jax.random.key(11), sched, params, cond, cf, B, L, **kw)
 
     monkeypatch.setattr(mk, "_FOLD_DEN", fold)
+    monkeypatch.setattr(mk, "_HEAD_REDUCE_3D", head3d)
+    monkeypatch.setattr(mk, "_SMALL_LK_MAX", 0)
     monkeypatch.setattr(mk, "_ATTN_SLAB_LIMIT", 0)
     monkeypatch.setattr(mk, "_Q_BLOCK_ROWS", L // 2)
     monkeypatch.setattr(mk, "_ROW_SLAB_LIMIT", 0)
@@ -123,6 +136,34 @@ def test_tiled_paths_match_single_block(setup, monkeypatch, fold):
     got = mk.megakernel_sample_tokens(
         jax.random.key(11), sched, params, cond, cf, B, L, **kw)
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_large_lk_branch_matches_small_lk(setup, monkeypatch):
+    """The large-lk attention branch (production self-attention at
+    L >= 1024: query-blocked, per-head softmax over the stacked score
+    slab) must produce the same tokens as the vectorized small-lk branch
+    at a shape where both are exact — and the ``_HEAD_REDUCE_3D``
+    variant must match the unrolled per-head slices bit-for-bit (same
+    per-head max/exp/sum, only the reduction layout differs)."""
+    sched, model, params = setup
+    rng = np.random.default_rng(9)
+    cond = jnp.asarray(rng.standard_normal((B, 1, COND_DIM)), jnp.float32)
+    cf = jnp.asarray(rng.standard_normal((1, 1, COND_DIM)), jnp.float32)
+    kw = dict(spatial_size=SPATIAL, n_layer=N_LAYER, n_head=N_HEAD,
+              n_embd=N_EMBD, diffusion_step=T, guidance_scale=2.0,
+              weights_dtype=jnp.float32, sample_mode=False, interpret=True)
+    want = mk.megakernel_sample_tokens(
+        jax.random.key(13), sched, params, cond, cf, B, L, **kw)
+
+    monkeypatch.setattr(mk, "_SMALL_LK_MAX", 0)
+    per_head = mk.megakernel_sample_tokens(
+        jax.random.key(13), sched, params, cond, cf, B, L, **kw)
+    np.testing.assert_array_equal(np.asarray(per_head), np.asarray(want))
+
+    monkeypatch.setattr(mk, "_HEAD_REDUCE_3D", True)
+    head3d = mk.megakernel_sample_tokens(
+        jax.random.key(13), sched, params, cond, cf, B, L, **kw)
+    np.testing.assert_array_equal(np.asarray(head3d), np.asarray(per_head))
 
 
 def test_cross_bias_fast_path_matches_general(setup):
