@@ -338,10 +338,28 @@ def main():
     p.add_argument("--guidance", type=float, default=2.0)
     p.add_argument("--out", default="BASELINE_MEASURED.json")
     p.add_argument("--skip-jax", action="store_true")
+    p.add_argument("--skip-torch", action="store_true",
+                   help="reuse torch_cpu_clips_per_sec from an existing "
+                        "--out artifact (config must match) instead of "
+                        "re-running the ~hour-long torch loop")
     args = p.parse_args()
 
-    torch_cps = time_torch(args)
-    print(f"torch CPU: {torch_cps:.4f} clips/sec", flush=True)
+    if args.skip_torch:
+        with open(args.out) as f:
+            prior = json.load(f)
+        want = {k: getattr(args, k) for k in
+                ("codes", "tokens", "batch", "steps", "layers", "embd",
+                 "heads", "cond_dim", "guidance")}
+        if prior["config"] != want:
+            raise SystemExit(
+                f"--skip-torch: config mismatch vs {args.out}: "
+                f"{prior['config']} != {want}")
+        torch_cps = prior["torch_cpu_clips_per_sec"]
+        print(f"torch CPU (reused from {args.out}): {torch_cps} clips/sec",
+              flush=True)
+    else:
+        torch_cps = time_torch(args)
+        print(f"torch CPU: {torch_cps:.4f} clips/sec", flush=True)
     jax_cps = None
     if not args.skip_jax:
         jax_cps = time_jax(args)
