@@ -86,3 +86,37 @@ def test_torch_cfg_combine_matches_jax(mtb, fixtures):
         jnp.asarray(log_xt), jnp.zeros((B, 1, 4)), jnp.zeros((B, 1, 4)),
         jnp.zeros((B,), jnp.int32), 2.0)))
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_skip_torch_reuses_artifact(mtb, tmp_path, monkeypatch):
+    """--skip-torch must reuse the recorded denominator (and refuse a
+    config mismatch) instead of re-running the ~hour-long torch loop."""
+    import json
+    import sys
+
+    art = tmp_path / "BASELINE_MEASURED.json"
+    cfg = {"codes": 4096, "tokens": 1024, "batch": 1, "steps": 100,
+           "layers": 19, "embd": 64, "heads": 16, "cond_dim": 512,
+           "guidance": 2.0}
+    art.write_text(json.dumps(
+        {"config": cfg, "torch_cpu_clips_per_sec": 0.0016}))
+
+    monkeypatch.setattr(mtb, "time_torch",
+                        lambda a: (_ for _ in ()).throw(
+                            AssertionError("torch loop must not run")))
+    monkeypatch.setattr(mtb, "time_jax", lambda a: 0.0011)
+    monkeypatch.setattr(sys, "argv", [
+        "mtb", "--tokens", "1024", "--batch", "1", "--skip-torch",
+        "--out", str(art)])
+    mtb.main()
+    got = json.loads(art.read_text())
+    assert got["torch_cpu_clips_per_sec"] == 0.0016
+    assert got["jax_cpu_clips_per_sec"] == 0.0011
+    assert got["jax_over_torch_cpu"] == round(0.0011 / 0.0016, 3)
+
+    # config mismatch -> hard error, artifact untouched
+    monkeypatch.setattr(sys, "argv", [
+        "mtb", "--tokens", "2304", "--batch", "1", "--skip-torch",
+        "--out", str(art)])
+    with pytest.raises(SystemExit):
+        mtb.main()
