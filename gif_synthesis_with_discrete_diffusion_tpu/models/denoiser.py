@@ -29,6 +29,12 @@ from .embeddings import TokenGridEmbedding
 __all__ = ["DenoiserTransformer", "Block", "AdaLayerNorm", "SinusoidalPosEmb",
            "gelu2"]
 
+# A/B + test override for the backend-gated fused-attention default:
+# None = gate on backend (Pallas kernel on TPU, einsum elsewhere);
+# True/False force one path for all DenoiserTransformer calls that don't
+# pass fused_attention explicitly.
+FUSED_ATTENTION_OVERRIDE: bool | None = None
+
 
 def gelu2(x: jax.Array) -> jax.Array:
     """x * sigmoid(1.702 x) (reference GELU2, transformer_utils.py:115-119)."""
@@ -215,9 +221,14 @@ class DenoiserTransformer(nn.Module):
                  t: jax.Array, *, deterministic: bool = True,
                  fused_attention: bool | None = None) -> jax.Array:
         if fused_attention is None:
-            # fused Pallas attention on TPU no-grad paths (no VJP defined)
-            fused_attention = (deterministic and
-                               jax.default_backend() in ("tpu", "axon"))
+            # fused Pallas attention on TPU for BOTH sampling and training
+            # (fused_mha carries a custom VJP whose backward kernel
+            # recomputes the softmax on-chip); the attention modules fall
+            # back to einsum when dropout is active and not deterministic
+            if FUSED_ATTENTION_OVERRIDE is not None:
+                fused_attention = FUSED_ATTENTION_OVERRIDE
+            else:
+                fused_attention = jax.default_backend() in ("tpu", "axon")
         emb = TokenGridEmbedding(self.num_embed, self.spatial_size,
                                  self.n_embd, name="content_emb")(tokens)
         if cond is None:

@@ -220,6 +220,33 @@ print("fused_mha msrvtt-scale ok")
 """))
 
 
+def test_fused_mha_grads_compile_on_tpu(tpu_available):
+    """The custom-VJP backward kernel (training path) must Mosaic-compile
+    and match the einsum-oracle gradients at the honest D3PM train scale
+    (L=1024 tokens, C=64, H=16 — reference ucf-ddiff-train.job:15/16).
+    Cross-attention (Lk=77 CLIP sequence) rides the same kernel."""
+    _check(_run_on_tpu("""
+import numpy as np
+import jax, jax.numpy as jnp
+from gif_synthesis_with_discrete_diffusion_tpu.ops.attention import (
+    fused_mha, sdpa_reference)
+rng = np.random.default_rng(0)
+for Lq, Lk in [(1024, 1024), (1024, 77)]:
+    q = jnp.asarray(rng.standard_normal((2, Lq, 64)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((2, Lk, 64)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((2, Lk, 64)), jnp.float32)
+    loss_f = lambda q, k, v: jnp.sum(fused_mha(q, k, v, n_head=16) ** 2)
+    loss_r = lambda q, k, v: jnp.sum(sdpa_reference(q, k, v, 16) ** 2)
+    got = jax.grad(loss_f, argnums=(0, 1, 2))(q, k, v)
+    want = jax.grad(loss_r, argnums=(0, 1, 2))(q, k, v)
+    for g, w, name in zip(got, want, "qkv"):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w),
+                                   rtol=5e-3, atol=5e-3,
+                                   err_msg=f"d{name} Lq={Lq} Lk={Lk}")
+print("fused_mha grads ok")
+"""))
+
+
 def test_sampler_kernel_compiles_at_honest_k(tpu_available):
     """fused_sample_step must Mosaic-compile at the honest class count
     (K=4097; kp=4104): its ~19 live (kp, 128) f32 temporaries are ~40 MB,
