@@ -94,3 +94,46 @@ def test_denoiser_bf16_compute_close_to_f32():
     assert y16.dtype == jnp.float32
     d = float(jnp.abs(y32 - y16).max())
     assert 0.0 < d < 0.05, d
+
+
+def test_denoiser_fused_attention_grads_match_einsum(monkeypatch):
+    """The TPU-default fused training path (custom-VJP Pallas fused_mha,
+    ops/attention.py) must produce the same logits AND parameter gradients
+    as the einsum path. Covers the denoiser-level wiring (self- and
+    cross-attention both routed through the kernel) on top of the raw
+    kernel parity tests in test_attention_kernel.py."""
+    import functools
+
+    from gif_synthesis_with_discrete_diffusion_tpu.models import denoiser as dn
+    from gif_synthesis_with_discrete_diffusion_tpu.ops.attention import (
+        fused_mha)
+
+    # CPU runs the kernel in pallas interpret mode
+    monkeypatch.setattr(dn, "fused_mha",
+                        functools.partial(fused_mha, interpret=True))
+    model = DenoiserTransformer(num_embed=16, spatial_size=(4, 4),
+                                n_layer=2, n_embd=32, n_head=4,
+                                content_seq_len=16, condition_dim=24,
+                                diffusion_step=10)
+    tokens = jnp.asarray(np.arange(32).reshape(2, 16) % 16, jnp.int32)
+    cond = jax.random.normal(jax.random.key(1), (2, 3, 24))
+    t = jnp.asarray([3, 7])
+    variables = model.init(jax.random.key(0), tokens, cond, t)
+
+    def loss(v, fused):
+        out = model.apply(v, tokens, cond, t, fused_attention=fused)
+        return jnp.mean(out.astype(jnp.float32) ** 2)
+
+    y_f = model.apply(variables, tokens, cond, t, fused_attention=True)
+    y_e = model.apply(variables, tokens, cond, t, fused_attention=False)
+    np.testing.assert_allclose(np.asarray(y_f), np.asarray(y_e),
+                               rtol=2e-4, atol=2e-4)
+    g_f = jax.grad(loss)(variables, True)
+    g_e = jax.grad(loss)(variables, False)
+    flat_f = jax.tree_util.tree_leaves_with_path(g_f)
+    flat_e = jax.tree_util.tree_leaves(g_e)
+    assert len(flat_f) == len(flat_e)
+    for (path, gf), ge in zip(flat_f, flat_e):
+        np.testing.assert_allclose(
+            np.asarray(gf), np.asarray(ge), rtol=5e-4, atol=5e-4,
+            err_msg=jax.tree_util.keystr(path))
