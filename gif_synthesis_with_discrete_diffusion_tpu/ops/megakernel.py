@@ -217,6 +217,18 @@ _PROBS_BF16 = False
 # before flipping the default.
 _HEAD_REDUCE_3D = False
 
+# Large-lk per-head softmax WITHOUT the slab division: keep the
+# unnormalized e = exp(s - m) per head, take its per-head row-sum (a cheap
+# (qb, 1) VPU reduce), and divide the (qb, C) PV OUTPUT by the per-head
+# denominators broadcast across each head's d output columns. Removes the
+# biggest remaining slab pass (the (qb, H*lk) divide) at the cost of a
+# 256x-smaller output divide. Differs from the rejected _FOLD_DEN above,
+# which paid a full extra (qb,H*lk)x(H*lk,C) MXU matmul for the
+# denominators. Numerics: e is bf16-rounded before the PV matmul exactly
+# like p was, and num/den in f32 — same rounding class as the shipped
+# path. A/B on chip before flipping.
+_FOLD_DEN_SLICE = False
+
 # Key-length at or below which attention takes the vectorized small-lk
 # softmax (one exp over the full (L, H*lk) slab + block-diag-ones
 # denominator matmul) instead of the per-head / query-blocked large-lk
@@ -427,6 +439,29 @@ def _kernel(sched_ref, seed_ref, tokens_ref, adaln_ref, kc_ref, vc_ref,
                 p_cat = p3.reshape(qb, n_head * lk)
                 if _PROBS_BF16:
                     p_cat = p_cat.astype(jnp.bfloat16)
+            elif _FOLD_DEN_SLICE:
+                # unnormalized e per head; divide the (qb, C) OUTPUT by the
+                # per-head row-sums instead of the (qb, H*lk) slab
+                blocks, dens = [], []
+                for h in range(n_head):
+                    blk = scores[:, h * lk:(h + 1) * lk]
+                    if masked:
+                        kcolv = jax.lax.broadcasted_iota(
+                            jnp.int32, (qb, lk), 1) < valid_count
+                        blk = jnp.where(kcolv, blk, -jnp.inf)
+                    m = jnp.max(blk, axis=1, keepdims=True)
+                    pb = jnp.exp(blk - m)
+                    blocks.append(pb)
+                    dens.append(jnp.broadcast_to(
+                        jnp.sum(pb, axis=1, keepdims=True), (qb, d)))
+                p_cat = jnp.concatenate(blocks, axis=1)      # (qb, H*lk)
+                num = jax.lax.dot_general(
+                    p_cat.astype(jnp.bfloat16), vstack,
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)      # (qb, C)
+                out_blocks.append(
+                    num / jnp.concatenate(dens, axis=1))     # (qb, C)
+                continue
             else:
                 blocks = []
                 for h in range(n_head):

@@ -94,12 +94,14 @@ def test_megakernel_step_argmax_matches_flax(setup, t_scalar):
                                   err_msg=f"t={t_scalar}")
 
 
-@pytest.mark.parametrize("fold,head3d", [
-    (False, False),
-    pytest.param(True, False, marks=pytest.mark.slow, id="folddeN"),
-    (False, True)],
-    ids=["perhead", "folddeN", "head3d"])
-def test_tiled_paths_match_single_block(setup, monkeypatch, fold, head3d):
+@pytest.mark.parametrize("fold,head3d,foldslice", [
+    (False, False, False),
+    pytest.param(True, False, False, marks=pytest.mark.slow, id="folddeN"),
+    (False, True, False),
+    (False, False, True)],
+    ids=["perhead", "folddeN", "head3d", "foldslice"])
+def test_tiled_paths_match_single_block(setup, monkeypatch, fold, head3d,
+                                        foldslice):
     """Force every tiling loop (embedding chunks, attention query blocks,
     sampler row blocks) at the tiny test scale and assert bit-identical
     tokens vs the degenerate single-block configuration. At the BASELINE
@@ -126,6 +128,7 @@ def test_tiled_paths_match_single_block(setup, monkeypatch, fold, head3d):
 
     monkeypatch.setattr(mk, "_FOLD_DEN", fold)
     monkeypatch.setattr(mk, "_HEAD_REDUCE_3D", head3d)
+    monkeypatch.setattr(mk, "_FOLD_DEN_SLICE", foldslice)
     monkeypatch.setattr(mk, "_SMALL_LK_MAX", 0)
     monkeypatch.setattr(mk, "_ATTN_SLAB_LIMIT", 0)
     monkeypatch.setattr(mk, "_Q_BLOCK_ROWS", L // 2)
