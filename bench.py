@@ -284,12 +284,18 @@ def bench_train_step(resolution: int = 64) -> dict:
     import tempfile
 
     bs = 64
+    # bf16 conv compute wins +11% at the reference job's 128px data shape
+    # (4.34 -> 4.81 steps/sec on the tunnel chip) and ties at 64px, so only
+    # the 128px row ships it (f32 params either way; bf16 numerics pinned
+    # by tests/test_vqvae.py::test_vqvae_bf16_train_grad)
+    dtype = "bfloat16" if resolution >= 128 else "float32"
     cfg = {"seed": 0, "trainer": {"max_epochs": 1, "mesh": {}},
            "model": {"generator": {"embedding_dim": 128, "n_codes": 4096,
                                    "n_hiddens": 256, "n_res_layers": 3,
                                    "downsample": [1, 8, 8],
                                    "sequence_length": 4,
-                                   "resolution": resolution},
+                                   "resolution": resolution,
+                                   "dtype": dtype},
                      "losses": {"loss_dict": {"l_dummy": 1.0}},
                      "lr_args": {"gen_lr": 4e-4}}}
     dm = SyntheticVideoDataModule(batch_size=bs, sequence_length=4,
@@ -310,7 +316,7 @@ def bench_train_step(resolution: int = 64) -> dict:
             times.append(time.perf_counter() - t0)
         dt = float(np.median(times))
     return {"metric": (f"VQ-VAE train steps/sec (batch 64, EMA codebook, "
-                       f"{resolution}px)"),
+                       f"{resolution}px, {dtype} compute)"),
             "value": round(1.0 / dt, 3), "unit": "steps/sec/chip",
             "vs_baseline": 0.0}
 

@@ -212,9 +212,12 @@ _PROBS_BF16 = False
 
 # Large-lk (self-attention) per-head softmax via a (qb, H, lk) major-dim
 # split + one 3D reduce instead of H unrolled (qb, lk) slices. Bit-equal
-# math; ~H-fold smaller Mosaic program per query block (the unrolled slice
-# chain is what blew the L=2304/18-q-block compile). Runtime A/B on chip
-# before flipping the default.
+# math (tests/test_megakernel.py), and the traced program is ~H-fold
+# smaller per query block — but Mosaic's 3D lowering is a COMPILE-TIME
+# DISASTER at production scale: the honest config (L=1024, K=4097, 19
+# layers) did not finish compiling in 30 MINUTES vs 84 s for the unrolled
+# slices (round-3 A/B). REJECTED for runtime use; kept only as an
+# interpret-mode-tested reference formulation.
 _HEAD_REDUCE_3D = False
 
 # Large-lk per-head softmax WITHOUT the slab division: keep the
