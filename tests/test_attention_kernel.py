@@ -99,3 +99,18 @@ def test_fused_mha_query_tiling_matches_untiled(monkeypatch):
     got = fused_mha(q, k, v, n_head=4, interpret=True)
     fused_mha.clear_cache()
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_fused_mha_bf16_inputs():
+    """bf16 q/k/v (the transformer_dtype=bfloat16 production path): the
+    kernel upcasts to f32 internally, output returns in bf16."""
+    rng = np.random.default_rng(3)
+    q = jnp.asarray(rng.standard_normal((2, 16, 64)), jnp.bfloat16)
+    k = jnp.asarray(rng.standard_normal((2, 16, 64)), jnp.bfloat16)
+    v = jnp.asarray(rng.standard_normal((2, 16, 64)), jnp.bfloat16)
+    got = fused_mha(q, k, v, n_head=16, interpret=True)
+    assert got.dtype == jnp.bfloat16
+    want = sdpa_reference(q.astype(jnp.float32), k.astype(jnp.float32),
+                          v.astype(jnp.float32), 16)
+    np.testing.assert_allclose(np.asarray(got, np.float32),
+                               np.asarray(want), rtol=2e-2, atol=2e-2)
