@@ -83,10 +83,10 @@ def apply_config(name: str) -> None:
     model build). 'honest' = BASELINE config; 'half' = round-1/2 row;
     'msrvtt' = the text-conditioned job's grid (msrvtt-ddiff-train.job:16:
     n_codes=4096, downsample [1,8,8], content_spatial_size [48,48] ->
-    16f 96px clips, 16x12x12 = 2304 latent tokens). Above the megakernel's
-    1024-token gate sampling routes through the XLA denoiser with the
-    query-tiled fused_mha (ops/attention.py), so batch/iters shrink to keep
-    the run bounded."""
+    16f 96px clips, 16x12x12 = 2304 latent tokens). Since the 256-row
+    query-block floor the megakernel covers this grid too (~8-min one-time
+    Mosaic compile, 1.44x the XLA+fused_mha route it used before); batch
+    stays 8 to keep the run bounded."""
     global N_CODES, DOWNSAMPLE, RES, BATCH
     if name == "honest":
         N_CODES, DOWNSAMPLE, RES, BATCH = 4096, (1, 8, 8), 64, 32

@@ -193,15 +193,20 @@ def _mm(a, w):
 # the round-2 measured-fastest code exactly; at L=1024/K=4097 they tile.
 _ATTN_SLAB_LIMIT = 18 * 1024 * 1024   # (L, H*lk) f32 self-attn scores
 # query rows per tiled attention slab; None = derive the largest
-# 128-multiple whose slab fits _ATTN_SLAB_LIMIT (256 at L=1024, 128 at the
-# MSRVTT L=2304). A/B at L=1024: 256 vs 128 was a tie (76.3 vs 77.7 ms).
+# 128-multiple whose slab fits _ATTN_SLAB_LIMIT, FLOORED at 256 rows: the
+# floor is what makes the MSRVTT L=2304 grid compile — 128-row blocks give
+# 18 q-blocks whose unrolled 16-head softmax chains blew a 40-min Mosaic
+# compile, while 256-row blocks (a 37.7 MB slab, still inside the 100 MB
+# kernel ceiling) compile in 8.2 min and run 0.857 clips/sec at batch 8
+# (1.44x the XLA+fused_mha path). A/B at L=1024: 256 vs 128 was a tie
+# (76.3 vs 77.7 ms); L=1024 derives 256 with or without the floor.
 _Q_BLOCK_ROWS: int | None = None
 _ROW_SLAB_LIMIT = 6 * 1024 * 1024     # (L, K) f32 logits slab
 _R_BLOCK_ROWS = 256                   # rows per tiled sampler block
 
 
 def _auto_q_rows(n_head: int, lk: int) -> int:
-    return max(128, (_ATTN_SLAB_LIMIT // (n_head * lk * 4)) // 128 * 128)
+    return max(256, (_ATTN_SLAB_LIMIT // (n_head * lk * 4)) // 128 * 128)
 _EMB_CHUNK_LIMIT = 2056               # one-hot gather: max un-chunked table
 _EMB_CHUNK_ROWS = 2048                # ... and the chunk height beyond it
 

@@ -200,10 +200,11 @@ print("megakernel baseline-scale ok")
 def test_fused_mha_compiles_at_msrvtt_scale(tpu_available):
     """fused_mha must Mosaic-compile at the MSRVTT grid (L=2304 = 48x48,
     msrvtt-ddiff-train.job:16) — the scale where the default 16MB
-    scoped-vmem stack used to OOM (query tiling + raised vmem limit). The
-    sampling megakernel is gated to <=1024 tokens (compile-time bound,
-    train/stage2.py MEGAKERNEL_MAX_SEQ); this XLA+fused-attention path is
-    what serves MSRVTT-scale sampling."""
+    scoped-vmem stack used to OOM (query tiling + raised vmem limit).
+    MSRVTT-scale sampling now rides the megakernel (MEGAKERNEL_MAX_SEQ =
+    2304, ~8-min one-time compile — exercised by ``bench.py --config
+    msrvtt``, too slow for this tier); fused_mha remains the training path
+    and the sampling fallback above the gate."""
     _check(_run_on_tpu("""
 import numpy as np
 import jax.numpy as jnp
