@@ -237,6 +237,15 @@ _HEAD_REDUCE_3D = False
 # path. A/B on chip before flipping.
 _FOLD_DEN_SLICE = False
 
+# Emit the (qb, H*lk) self-attention scores in bf16 straight from the QK
+# matmul EPILOGUE (preferred_element_type=bfloat16) — halves the dominant
+# slab's store+reload traffic without the extra conversion pass that sank
+# the post-exp _PROBS_BF16 variant. NUMERICS-CHANGING (bf16 scores round
+# before max/exp; sampled tokens can differ in low-probability ties from
+# the f32 paths), so this can never be default-on while the sampler-path
+# posterior-equivalence contract stands (CLAUDE.md). A/B switch only.
+_SCORES_BF16 = False
+
 # Key-length at or below which attention takes the vectorized small-lk
 # softmax (one exp over the full (L, H*lk) slab + block-diag-ones
 # denominator matmul) instead of the per-head / query-blocked large-lk
@@ -402,7 +411,9 @@ def _kernel(sched_ref, seed_ref, tokens_ref, adaln_ref, kc_ref, vc_ref,
             scores = jax.lax.dot_general(
                 qs[q0:q0 + qb], kstack,
                 dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)          # (qb, H*lk)
+                preferred_element_type=(
+                    jnp.bfloat16 if _SCORES_BF16
+                    else jnp.float32))                       # (qb, H*lk)
             if fold:
                 if masked:
                     tv = (jax.lax.broadcasted_iota(
@@ -477,9 +488,12 @@ def _kernel(sched_ref, seed_ref, tokens_ref, adaln_ref, kc_ref, vc_ref,
                     if masked:
                         kcolv = jax.lax.broadcasted_iota(
                             jnp.int32, (qb, lk), 1) < valid_count
-                        blk = jnp.where(kcolv, blk, -jnp.inf)
+                        blk = jnp.where(kcolv, blk,
+                                        jnp.asarray(-jnp.inf, blk.dtype))
                     m = jnp.max(blk, axis=1, keepdims=True)
-                    pb = jnp.exp(blk - m)
+                    # max/subtract ride the scores dtype (bf16 under
+                    # _SCORES_BF16); exp and everything after stay f32
+                    pb = jnp.exp((blk - m).astype(jnp.float32))
                     p = pb / jnp.sum(pb, axis=1, keepdims=True)
                     blocks.append(p.astype(jnp.bfloat16) if _PROBS_BF16
                                   else p)
