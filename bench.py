@@ -375,8 +375,10 @@ def bench_train_step2() -> dict:
             float(values["total"])
             times.append(time.perf_counter() - t0)
         dt = float(np.median(times))
-    return {"metric": ("stage-2 D3PM train steps/sec (batch 16, label "
-                       "cond, bf16 compute)"),
+    seq = int(np.prod([s // d for s, d in
+                       zip((SEQ_LEN, RES, RES), DOWNSAMPLE)]))
+    return {"metric": (f"stage-2 D3PM train steps/sec (batch 16, label "
+                       f"cond, {seq} tok, K={N_CODES + 1}, bf16 compute)"),
             "value": round(1.0 / dt, 3), "unit": "steps/sec/chip",
             "vs_baseline": 0.0}
 
@@ -485,8 +487,15 @@ def main():
                         choices=["honest", "half", "msrvtt"],
                         help="problem size: honest=BASELINE (1024 tok, "
                              "K=4097); half=round-1/2 row (512 tok, K=2049)")
+    parser.add_argument("--batch", type=int, default=None,
+                        help="override the config's sampling/FVD batch size "
+                             "(A/B tool; the committed numbers use the "
+                             "config defaults)")
     args = parser.parse_args()
     apply_config(args.config)
+    if args.batch is not None:
+        global BATCH
+        BATCH = args.batch
     _backend_watchdog()
     fn = {"sampling": bench_sampling, "vqvae": bench_vqvae,
           "train_step": bench_train_step,
