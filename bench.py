@@ -99,35 +99,62 @@ def apply_config(name: str) -> None:
         raise ValueError(f"unknown --config {name!r}")
 
 
-def _vs_baseline_fields(clips_per_sec: float) -> dict:
-    """vs_baseline from a measured torch-CPU artifact (any
-    ``BASELINE_MEASURED*.json`` next to this file, produced by
-    scripts/measure_torch_baseline.py) whose recorded config matches the
-    CURRENT problem size (tokens+codes), falling back to the documented
-    GPU estimate (see module docstring)."""
+def _seq_len() -> int:
+    """Latent token count at the CURRENT problem size."""
+    return int(np.prod([s // d for s, d in
+                        zip((SEQ_LEN, RES, RES), DOWNSAMPLE)]))
+
+
+def _measured_lookup(kind: str, match: dict):
+    """Find a measured torch-CPU denominator: scan BASELINE_MEASURED*.json
+    next to this file (scripts/measure_torch_baseline.py artifacts) for one
+    of this ``kind`` whose recorded config matches ``match``. Artifacts
+    without a 'kind' field are the round-3 sampler artifacts. Returns
+    (torch_value, source_str) or (None, None)."""
     import glob
 
-    fields = {"vs_pytorch_gpu_estimate": round(
-        clips_per_sec / ESTIMATED_PYTORCH_GPU_CLIPS_PER_SEC, 3)}
-    seq = int(np.prod([s // d for s, d in
-                       zip((SEQ_LEN, RES, RES), DOWNSAMPLE)]))
     pattern = _MEASURED_BASELINE_PATH.replace(".json", "*.json")
     for path in sorted(glob.glob(pattern)):
         try:
             with open(path) as f:
                 measured = json.load(f)
-            mcfg = measured.get("config") or {}
-            if (int(mcfg.get("tokens", -1)) != seq
-                    or int(mcfg.get("codes", -1)) != N_CODES):
+            if measured.get("kind", "sampler") != kind:
                 continue
-            torch_cps = float(measured["torch_cpu_clips_per_sec"])
-            fields["vs_baseline"] = round(clips_per_sec / torch_cps, 3)
-            fields["baseline_source"] = (
-                f"measured torch CPU {torch_cps} clips/sec, "
-                f"config {mcfg} ({os.path.basename(path)})")
-            return fields
+            mcfg = measured.get("config") or {}
+            if any(str(mcfg.get(k)) != str(v) for k, v in match.items()):
+                continue
+            torch_val = float(measured.get(
+                "torch_cpu_value", measured.get("torch_cpu_clips_per_sec")))
+            return torch_val, (f"measured torch CPU {torch_val}, "
+                               f"config {mcfg} ({os.path.basename(path)})")
         except (OSError, KeyError, ValueError, TypeError):
             continue
+    return None, None
+
+
+def _vs_measured(kind: str, value: float, match: dict) -> dict:
+    """vs_baseline fields for the non-sampling metrics (same-unit ratio
+    against the measured torch-CPU denominator; 0.0 when unmeasured)."""
+    torch_val, source = _measured_lookup(kind, match)
+    if torch_val:
+        return {"vs_baseline": round(value / torch_val, 3),
+                "baseline_source": source}
+    return {"vs_baseline": 0.0,
+            "baseline_source": f"no measured {kind} artifact at this config"}
+
+
+def _vs_baseline_fields(clips_per_sec: float) -> dict:
+    """vs_baseline for the sampling metric: measured torch-CPU artifact
+    matching the CURRENT problem size (tokens+codes), falling back to the
+    documented GPU estimate (see module docstring)."""
+    fields = {"vs_pytorch_gpu_estimate": round(
+        clips_per_sec / ESTIMATED_PYTORCH_GPU_CLIPS_PER_SEC, 3)}
+    torch_cps, source = _measured_lookup(
+        "sampler", {"tokens": _seq_len(), "codes": N_CODES})
+    if torch_cps:
+        fields["vs_baseline"] = round(clips_per_sec / torch_cps, 3)
+        fields["baseline_source"] = source
+        return fields
     fields["vs_baseline"] = fields["vs_pytorch_gpu_estimate"]
     fields["baseline_source"] = (
         "pytorch GPU estimate (no measured artifact at this config)")
@@ -225,16 +252,32 @@ def bench_sampling() -> dict:
         times.append(time.perf_counter() - t0)
     dt = float(np.median(times))
     clips_per_sec = BATCH / dt
-    seq = int(np.prod([s // d for s, d in
-                       zip((SEQ_LEN, RES, RES), DOWNSAMPLE)]))
+    seq = _seq_len()
     route = "megakernel" if use_megakernel else "xla+fused_mha"
-    return {
+    result = {
         "metric": (f"sampled clips/sec/chip (100-step D3PM, 16f {RES}px, "
                    f"{seq} tok, K={N_CODES + 1}, CFG 2, {route})"),
         "value": round(clips_per_sec, 3),
         "unit": "clips/sec/chip",
+        "batch": BATCH,
         **_vs_baseline_fields(clips_per_sec),
     }
+    if use_megakernel:
+        # roofline utilization fields (VERDICT r3 #1): analytic cost model
+        # of the megakernel step (utils/roofline.py) against probe-measured
+        # chip peaks (ROOFLINE_MEASURED.json) or the v5e nameplate.
+        # ms_per_step amortizes the VQ decode (~2% of the clip) over the
+        # 100 steps.
+        from gif_synthesis_with_discrete_diffusion_tpu.utils.roofline \
+            import load_measured_peaks, megakernel_step_model, \
+            roofline_fields
+        peaks = load_measured_peaks()
+        model = megakernel_step_model(
+            L=seq, K=N_CODES + 1, B=BATCH, n_layer=19, n_embd=64, n_head=16,
+            exp_weight=peaks.exp_op_weight)
+        result.update(roofline_fields(dt * 1e3 / DIFFUSION_STEPS, model,
+                                      peaks))
+    return result
 
 
 def bench_vqvae() -> dict:
@@ -264,9 +307,12 @@ def bench_vqvae() -> dict:
         times.append(time.perf_counter() - t0)
     dt = float(np.median(times))
     frames_per_sec = BATCH * SEQ_LEN / dt
-    return {"metric": "VQ-VAE enc/dec frames/sec (16f 64px)",
+    return {"metric": f"VQ-VAE enc/dec frames/sec (16f {RES}px, b{BATCH})",
             "value": round(frames_per_sec, 1), "unit": "frames/sec/chip",
-            "vs_baseline": 0.0}
+            "batch": BATCH,
+            **_vs_measured("vqvae_encdec", frames_per_sec,
+                           {"batch": BATCH, "resolution": RES,
+                            "codes": N_CODES, "seq_len": SEQ_LEN})}
 
 
 def bench_train_step(resolution: int = 64) -> dict:
@@ -315,16 +361,23 @@ def bench_train_step(resolution: int = 64) -> dict:
             float(values["total"])
             times.append(time.perf_counter() - t0)
         dt = float(np.median(times))
+    steps_per_sec = 1.0 / dt
     return {"metric": (f"VQ-VAE train steps/sec (batch 64, EMA codebook, "
                        f"{resolution}px, {dtype} compute)"),
-            "value": round(1.0 / dt, 3), "unit": "steps/sec/chip",
-            "vs_baseline": 0.0}
+            "value": round(steps_per_sec, 3), "unit": "steps/sec/chip",
+            "batch": bs,
+            **_vs_measured("vqvae_train", steps_per_sec,
+                           {"batch": bs, "resolution": resolution,
+                            "codes": 4096, "seq_len": 4, "res_layers": 3})}
 
 
-def bench_train_step2() -> dict:
-    """BASELINE config 4: text-conditioned stage-2 training step (batch 16,
+def bench_train_step2(mode: str = "label") -> dict:
+    """BASELINE config 4: conditioned stage-2 training step (batch 16,
     reference ucf-ddiff/msrvtt job scale: frozen VQ-VAE encode + D3PM
-    importance-sampled loss + Adam)."""
+    importance-sampled loss + Adam). ``mode='text'`` (used by --config
+    msrvtt, matching msrvtt-ddiff-train.job:16's text conditioning) puts
+    the full ViT-B/32 CLIP text-tower forward INSIDE the measured jitted
+    step; 'label' matches the UCF action-conditioned job."""
     import tempfile
 
     import jax
@@ -336,11 +389,14 @@ def bench_train_step2() -> dict:
         Stage2Trainer)
 
     bs = 16
+    textencoder = (
+        {"mode": "text", "dim": 512, "allow_hash_tokenizer": True}
+        if mode == "text"
+        else {"mode": "label", "n_classes": 101, "dim": 512})
     cfg = {"seed": 0, "trainer": {"max_epochs": 1, "mesh": {}},
            "model": {
                "generator": {
-                   "textencoder": {"mode": "label", "n_classes": 101,
-                                   "dim": 512},
+                   "textencoder": textencoder,
                    "diffusion_model": {
                        "diffusion_step": DIFFUSION_STEPS,
                        # bf16 denoiser compute is the TPU-native production
@@ -375,12 +431,15 @@ def bench_train_step2() -> dict:
             float(values["total"])
             times.append(time.perf_counter() - t0)
         dt = float(np.median(times))
-    seq = int(np.prod([s // d for s, d in
-                       zip((SEQ_LEN, RES, RES), DOWNSAMPLE)]))
-    return {"metric": (f"stage-2 D3PM train steps/sec (batch 16, label "
+    seq = _seq_len()
+    steps_per_sec = 1.0 / dt
+    return {"metric": (f"stage-2 D3PM train steps/sec (batch 16, {mode} "
                        f"cond, {seq} tok, K={N_CODES + 1}, bf16 compute)"),
-            "value": round(1.0 / dt, 3), "unit": "steps/sec/chip",
-            "vs_baseline": 0.0}
+            "value": round(steps_per_sec, 3), "unit": "steps/sec/chip",
+            "batch": bs,
+            **_vs_measured("train_step2", steps_per_sec,
+                           {"batch": bs, "tokens": seq, "codes": N_CODES,
+                            "mode": mode})}
 
 
 def bench_fvd_pipeline() -> dict:
@@ -439,6 +498,11 @@ def bench_fvd_pipeline() -> dict:
     assert np.isfinite(metrics["fvd"])
     return {"metric": "full pipeline clips/sec (sample+decode+I3D+FVD)",
             "value": round(BATCH / dt, 3), "unit": "clips/sec/chip",
+            "batch": BATCH,
+            # the torch pipeline is sampling-dominated (the reference's
+            # sampler alone runs 0.0016 clips/sec on this host), so the
+            # sampler artifact is the honest denominator ceiling; left 0.0
+            # rather than over-claiming with a lower-bound denominator
             "vs_baseline": 0.0}
 
 
@@ -487,20 +551,37 @@ def main():
                         choices=["honest", "half", "msrvtt"],
                         help="problem size: honest=BASELINE (1024 tok, "
                              "K=4097); half=round-1/2 row (512 tok, K=2049)")
-    parser.add_argument("--batch", type=int, default=None,
-                        help="override the config's sampling/FVD batch size "
-                             "(A/B tool; the committed numbers use the "
-                             "config defaults)")
+    def positive_int(s: str) -> int:
+        v = int(s)
+        if v <= 0:
+            raise argparse.ArgumentTypeError(f"batch must be > 0, got {v}")
+        return v
+
+    parser.add_argument("--batch", type=positive_int, default=None,
+                        help="override the config's sampling/vqvae/FVD "
+                             "batch size (A/B tool; the committed numbers "
+                             "use the config defaults; the effective batch "
+                             "is recorded in the JSON 'batch' field)")
     args = parser.parse_args()
     apply_config(args.config)
     if args.batch is not None:
         global BATCH
         BATCH = args.batch
+    # persistent compilation cache (GIF_COMPILE_CACHE=1 to force on over
+    # the axon TPU plugin; see utils/compile_cache.py for the caveat)
+    from gif_synthesis_with_discrete_diffusion_tpu.utils.compile_cache \
+        import enable_compilation_cache
+    enable_compilation_cache()
     _backend_watchdog()
     fn = {"sampling": bench_sampling, "vqvae": bench_vqvae,
           "train_step": bench_train_step,
           "train_step128": lambda: bench_train_step(resolution=128),
-          "train_step2": bench_train_step2,
+          # BASELINE config 4 as written is TEXT-conditioned at the MSRVTT
+          # grid (msrvtt-ddiff-train.job:16) — --config msrvtt measures the
+          # CLIP-tower-in-the-step variant; default/honest stays the UCF
+          # action-label job
+          "train_step2": lambda: bench_train_step2(
+              mode="text" if args.config == "msrvtt" else "label"),
           "fvd_pipeline": bench_fvd_pipeline}[args.metric]
     try:
         result = fn()

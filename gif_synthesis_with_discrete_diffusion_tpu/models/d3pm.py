@@ -202,8 +202,9 @@ def q_posterior(sched: D3PMSchedule, log_x_start: jax.Array,
     C = row(sched.log_cumprod_ct)
     sv = log_add_exp(A, B)                                   # k == x_t
     snv = log_add_exp(F + A, B)                              # k != x_t
-    qt_val = jnp.where(mask_bl, C, 0.0)                      # placeholder
-    log_qt = jnp.where(mask, qt_val[:, None, :],
+    # masked positions take the cumulative-ct row directly (C is (B, 1),
+    # broadcast over (B, 1, L)); unmasked take sv/snv by class index
+    log_qt = jnp.where(mask, C[:, None, :],
                        jnp.where(is_xt, sv[:, None, :], snv[:, None, :]))
 
     # q_pred_one_timestep(onehot(x_t), t) rows < K-1, then last row ->

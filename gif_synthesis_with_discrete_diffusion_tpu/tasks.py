@@ -168,6 +168,8 @@ def _train_impl(cfg, run_dir) -> dict[str, float]:
 
 
 def train(cfg: Mapping[str, Any]) -> dict[str, float]:
+    from .utils.compile_cache import enable_compilation_cache
+    enable_compilation_cache()
     run_dir = _setup(cfg)
     metrics = _train_impl(cfg, run_dir)
     log.info("run dir: %s", run_dir)
@@ -175,6 +177,8 @@ def train(cfg: Mapping[str, Any]) -> dict[str, float]:
 
 
 def evaluate(cfg: Mapping[str, Any]) -> dict[str, float]:
+    from .utils.compile_cache import enable_compilation_cache
+    enable_compilation_cache()
     run_dir = _setup(cfg)
     dm = build_datamodule(cfg)
     trainer = build_trainer(cfg, dm, run_dir)

@@ -27,6 +27,9 @@ log = get_logger("generate")
 
 
 def main() -> None:
+    from gif_synthesis_with_discrete_diffusion_tpu.utils.compile_cache \
+        import enable_compilation_cache
+    enable_compilation_cache()
     cfg = compose("train", sys.argv[1:])
     num_samples = int(cfg.get("num_samples", 4))
     out_dir = Path(cfg.get("out_dir", "samples"))

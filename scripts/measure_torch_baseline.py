@@ -1,25 +1,39 @@
 #!/usr/bin/env python
-"""Measure the PyTorch reference sampler on this host's CPU and this
-framework's CPU path on the SAME workload — the measured denominator for
-bench.py's ``vs_baseline`` (replacing the round-1/2 engineering estimate).
+"""Measure the PyTorch reference on this host's CPU — the measured
+denominators for bench.py's ``vs_baseline`` (replacing the round-1/2
+engineering estimate). ``--metric`` selects the BASELINE config:
 
-The torch model is the reference-keyed twin the converter parity tests use
-(tests/test_d3pm_converter.py; key layout transformer_utils.py:178-444),
-scaled to the requested config. The sampling loop mirrors the REFERENCE
-implementation (dt.py:568-644): per step TWO SEQUENTIAL transformer
-forwards (cond + classifier-free, dt.py:240-249), float64 log_softmax
-(dt.py:230 runs under torch.cuda.amp off-GPU as f32 — we keep f32 to match
-the actual executed dtype), dense (B, K, L) log-space q_posterior
-(dt.py:251-283), Gumbel-max draw (dt.py:354-359). The JAX comparator is the
-token-space fused sampler (models/d3pm.sample_fused), this framework's CPU
-path.
+* ``sampler`` (default, BASELINE config 3): the reference sampling loop
+  (dt.py:568-644 semantics: per step TWO SEQUENTIAL transformer forwards,
+  dt.py:240-249; dense (B, K, L) log-space q_posterior, dt.py:251-283;
+  Gumbel-max, dt.py:354-359) on a reference-keyed torch twin
+  (tests/test_d3pm_converter.py key layout). Also times this framework's
+  jax-CPU fused sampler for the same-host cross-check.
+* ``vqvae_encdec`` (config 1): VQ-VAE encode+decode round trip, eval mode
+  (videogpt_vq_vae.py:45-56), frames/sec.
+* ``vqvae_train`` (config 2): VQ-VAE train step — forward with losses
+  (videogpt_vq_vae.py:58-72), EMA codebook update (194-214), backward,
+  Adam(lr 4e-4, betas 0.5/0.999) step (text_motion_model.py:139-144).
+* ``train_step2`` (config 4): stage-2 D3PM train step as committed —
+  frozen VQ-VAE encode (dd.py:18-20), denoiser forward, dense log-space
+  _train_loss (dt.py:391-457: importance-less uniform t is NOT used; the
+  reference uses importance sampling which costs the same forward),
+  q_posterior x2, KL + t==0 NLL, backward, Adam step, PLUS the committed
+  reference's every-step x0 decode (dd.py:41). ``--cond-mode text`` adds
+  the frozen CLIP-text-tower-sized forward the MSRVTT job pays
+  (clip_text_embedding.py:52-68; cost twin, not weight twin). The default
+  label/null twin EXCLUDES the reference's (zeroed) CLIP forward — a
+  conservative denominator.
 
-Writes BASELINE_MEASURED.json:
-  {"torch_cpu_clips_per_sec": ..., "jax_cpu_clips_per_sec": ...,
-   "jax_over_torch_cpu": ..., config/host metadata}
+Writes one artifact per metric (BASELINE_MEASURED*.json) with a ``kind``
+field bench.py matches on:
+  {"kind": ..., "torch_cpu_value": ..., config/host metadata}
+(The sampler metric keeps its round-3 schema with clips/sec fields.)
 
-Usage (CPU; takes a few minutes at the honest config):
+Usage (CPU; minutes per metric on this 1-core host):
   python scripts/measure_torch_baseline.py --out BASELINE_MEASURED.json
+  python scripts/measure_torch_baseline.py --metric vqvae_train \
+      --resolution 64 --out BASELINE_MEASURED_TRAIN64.json
 """
 from __future__ import annotations
 
@@ -261,6 +275,302 @@ class TorchSampler:
 
 
 # ---------------------------------------------------------------------------
+# reference-keyed VQ-VAE twin (videogpt_vq_vae.py:14-333 structure; same
+# module layout as tests/test_vqvae_converter.py, generalized dims + the
+# TRAINING semantics: losses 58-72, EMA codebook 194-214)
+# ---------------------------------------------------------------------------
+
+
+def _pad_same(k, s):
+    total = [kk - ss for kk, ss in zip(k, s)]
+    out = []
+    for p in total[::-1]:
+        out += [p // 2 + p % 2, p // 2]
+    return out
+
+
+class _SamePadConv3d(nn.Module):
+    def __init__(self, cin, cout, k, stride=1, bias=True):
+        super().__init__()
+        k = (k,) * 3 if isinstance(k, int) else k
+        s = (stride,) * 3 if isinstance(stride, int) else stride
+        self._pad = _pad_same(k, s)
+        self.conv = nn.Conv3d(cin, cout, k, stride=s, bias=bias)
+
+    def forward(self, x):
+        return self.conv(F.pad(x, self._pad))
+
+
+class _SamePadConvT3d(nn.Module):
+    def __init__(self, cin, cout, k, stride=1):
+        super().__init__()
+        k = (k,) * 3 if isinstance(k, int) else k
+        s = (stride,) * 3 if isinstance(stride, int) else stride
+        self._pad = _pad_same(k, s)
+        self.convt = nn.ConvTranspose3d(cin, cout, k, stride=s,
+                                        padding=tuple(kk - 1 for kk in k))
+
+    def forward(self, x):
+        return self.convt(F.pad(x, self._pad))
+
+
+class _AxialMHA(nn.Module):
+    def __init__(self, dim, n_head, axis):
+        super().__init__()
+        self.w_qs = nn.Linear(dim, dim, bias=False)
+        self.w_ks = nn.Linear(dim, dim, bias=False)
+        self.w_vs = nn.Linear(dim, dim, bias=False)
+        self.fc = nn.Linear(dim, dim, bias=True)
+        self.n_head, self.axis = n_head, axis
+
+    def forward(self, x):  # (B,T,H,W,C)
+        d = x.shape[-1] // self.n_head
+        q, k, v = self.w_qs(x), self.w_ks(x), self.w_vs(x)
+
+        def split(t):
+            t = t.movedim(self.axis, -2)
+            return t.reshape(*t.shape[:-1], self.n_head, d)
+
+        qh, kh, vh = split(q), split(k), split(v)
+        att = torch.einsum("...lhd,...mhd->...hlm", qh, kh) / math.sqrt(d)
+        out = torch.einsum("...hlm,...mhd->...lhd", att.softmax(-1), vh)
+        out = out.reshape(*out.shape[:-2], -1).movedim(-2, self.axis)
+        return self.fc(out)
+
+
+class _AxialBlock(nn.Module):
+    def __init__(self, dim):
+        super().__init__()
+        self.attn_w = _AxialMHA(dim, 2, 3)
+        self.attn_h = _AxialMHA(dim, 2, 2)
+        self.attn_t = _AxialMHA(dim, 2, 1)
+
+    def forward(self, x):  # NCTHW
+        y = x.permute(0, 2, 3, 4, 1)
+        y = self.attn_w(y) + self.attn_h(y) + self.attn_t(y)
+        return y.permute(0, 4, 1, 2, 3)
+
+
+class _ResBlock(nn.Module):
+    def __init__(self, dim):
+        super().__init__()
+        self.block = nn.Sequential(
+            nn.BatchNorm3d(dim), nn.ReLU(),
+            _SamePadConv3d(dim, dim // 2, 3, bias=False),
+            nn.BatchNorm3d(dim // 2), nn.ReLU(),
+            _SamePadConv3d(dim // 2, dim, 1, bias=False),
+            nn.BatchNorm3d(dim), nn.ReLU(),
+            _AxialBlock(dim))
+
+    def forward(self, x):
+        return x + self.block(x)
+
+
+class TorchVQVAE(nn.Module):
+    """Reference-keyed twin, generalized dims + training semantics."""
+
+    def __init__(self, emb, hid, codes, nres, downsample):
+        super().__init__()
+        self.emb_dim, self.n_codes = emb, codes
+        n_times = [int(math.log2(d)) for d in downsample]
+        steps = [tuple(2 if n_times[d] > i else 1 for d in range(3))
+                 for i in range(max(n_times))]
+        enc = nn.Module()
+        enc.convs = nn.ModuleList(
+            [_SamePadConv3d(3 if i == 0 else hid, hid, 4, s)
+             for i, s in enumerate(steps)])
+        enc.conv_last = _SamePadConv3d(hid, hid, 3)
+        enc.res_stack = nn.Sequential(
+            *[_ResBlock(hid) for _ in range(nres)],
+            nn.BatchNorm3d(hid), nn.ReLU())
+        self.encoder = enc
+        dec = nn.Module()
+        dec.res_stack = nn.Sequential(
+            *[_ResBlock(hid) for _ in range(nres)],
+            nn.BatchNorm3d(hid), nn.ReLU())
+        dec.convts = nn.ModuleList(
+            [_SamePadConvT3d(hid, hid if i < len(steps) - 1 else 3, 4, s)
+             for i, s in enumerate(steps)])
+        self.decoder = dec
+        self.pre_vq_conv = _SamePadConv3d(hid, emb, 1)
+        self.post_vq_conv = _SamePadConv3d(emb, hid, 1)
+        cb = nn.Module()
+        cb.register_buffer("embeddings", torch.randn(codes, emb))
+        cb.register_buffer("N", torch.ones(codes))
+        cb.register_buffer("z_avg", torch.randn(codes, emb))
+        self.codebook = cb
+
+    def encode_z(self, x):  # NCTHW -> pre-VQ latents NCthw
+        h = x
+        for conv in self.encoder.convs:
+            h = F.relu(conv(h))
+        h = self.encoder.conv_last(h)
+        h = self.encoder.res_stack(h)
+        return self.pre_vq_conv(h)
+
+    def nearest(self, z):
+        flat = z.permute(0, 2, 3, 4, 1).reshape(-1, self.emb_dim)
+        d = ((flat ** 2).sum(1, keepdim=True)
+             - 2 * flat @ self.codebook.embeddings.t()
+             + (self.codebook.embeddings ** 2).sum(1))
+        return d.argmin(1).reshape(z.shape[0], *z.shape[2:]), flat
+
+    def decode_idx(self, idx):
+        emb = F.embedding(idx, self.codebook.embeddings)
+        h = self.post_vq_conv(emb.permute(0, 4, 1, 2, 3))
+        h = self.decoder.res_stack(h)
+        for i, convt in enumerate(self.decoder.convts):
+            h = convt(h)
+            if i < len(self.decoder.convts) - 1:
+                h = F.relu(h)
+        return h
+
+    def train_forward(self, x):
+        """Forward with losses + EMA update (videogpt_vq_vae.py:58-72,
+        179-219): recon MSE/0.06, commitment 0.25*MSE, straight-through
+        embeddings, EMA N/z_avg decay 0.99 with Laplace smoothing."""
+        z = self.encode_z(x)
+        idx, flat = self.nearest(z)
+        emb = F.embedding(idx, self.codebook.embeddings)  # (B,t,h,w,E)
+        emb_ncthw = emb.permute(0, 4, 1, 2, 3)
+        commitment = 0.25 * F.mse_loss(z, emb_ncthw.detach())
+        emb_st = z + (emb_ncthw - z).detach()             # straight-through
+        with torch.no_grad():                             # EMA (194-214)
+            onehot = F.one_hot(idx.reshape(-1), self.n_codes).float()
+            n_total = onehot.sum(0)
+            encode_sum = onehot.t() @ flat.detach()
+            self.codebook.N.mul_(0.99).add_(n_total, alpha=0.01)
+            self.codebook.z_avg.mul_(0.99).add_(encode_sum, alpha=0.01)
+            n = self.codebook.N.sum()
+            weights = (self.codebook.N + 1e-7) / (n + self.n_codes * 1e-7) * n
+            self.codebook.embeddings.copy_(
+                self.codebook.z_avg / weights.unsqueeze(1))
+        h = self.post_vq_conv(emb_st)
+        h = self.decoder.res_stack(h)
+        for i, convt in enumerate(self.decoder.convts):
+            h = convt(h)
+            if i < len(self.decoder.convts) - 1:
+                h = F.relu(h)
+        recon = F.mse_loss(h, x) / 0.06                   # (:64)
+        return recon + commitment
+
+
+def time_vqvae_encdec(args):
+    """BASELINE config 1: eval-mode encode+decode, frames/sec."""
+    torch.manual_seed(0)
+    torch.set_num_threads(os.cpu_count() or 8)
+    twin = TorchVQVAE(args.emb_dim, args.hiddens, args.codes,
+                      args.res_layers, (1, 8, 8)).eval()
+    x = torch.randn(args.batch, 3, args.seq_len, args.resolution,
+                    args.resolution)
+    with torch.no_grad():
+        idx, _ = twin.nearest(twin.encode_z(x))
+        twin.decode_idx(idx)                              # warmup
+        t0 = time.perf_counter()
+        for _ in range(args.steps_timed):
+            idx, _ = twin.nearest(twin.encode_z(x))
+            out = twin.decode_idx(idx)
+        dt = (time.perf_counter() - t0) / args.steps_timed
+    assert out.shape[1] == 3
+    return args.batch * args.seq_len / dt                 # frames/sec
+
+
+def time_vqvae_train(args):
+    """BASELINE config 2: train step (fwd+EMA+backward+Adam), steps/sec."""
+    torch.manual_seed(0)
+    torch.set_num_threads(os.cpu_count() or 8)
+    twin = TorchVQVAE(args.emb_dim, args.hiddens, args.codes,
+                      args.res_layers, (1, 8, 8)).train()
+    opt = torch.optim.Adam(twin.parameters(), lr=4e-4, betas=(0.5, 0.999))
+    x = torch.randn(args.batch, 3, args.seq_len, args.resolution,
+                    args.resolution)
+
+    def step():
+        opt.zero_grad()
+        loss = twin.train_forward(x)
+        loss.backward()
+        opt.step()
+        return float(loss)
+
+    step()                                                # warmup
+    t0 = time.perf_counter()
+    for _ in range(args.steps_timed):
+        step()
+    return args.steps_timed / (time.perf_counter() - t0)  # steps/sec
+
+
+def time_train_step2(args):
+    """BASELINE config 4: stage-2 train step as committed — frozen VQ-VAE
+    encode + denoiser fwd + dense log-space loss (dt.py:391-457) +
+    backward + Adam + the every-step x0 decode (dd.py:41). steps/sec."""
+    torch.manual_seed(0)
+    torch.set_num_threads(os.cpu_count() or 8)
+    K = args.codes + 1
+    ae = TorchVQVAE(args.emb_dim, args.hiddens, args.codes, 2,
+                    (1, 8, 8)).eval()
+    spatial = (args.tokens // 8, 8)
+    model = TorchDenoiser(args.layers, args.embd, args.heads, args.codes,
+                          args.cond_dim, args.steps, spatial).train()
+    sampler = TorchSampler(model, args.steps, K, args.guidance)
+    opt = torch.optim.Adam(model.parameters(), lr=1e-4)
+    text_tower = None
+    if args.cond_mode == "text":
+        # cost twin of the frozen CLIP ViT-B/32 text tower the MSRVTT job
+        # runs per step (clip_text_embedding.py:52-68): 12 layers, width
+        # 512, 8 heads, 77 tokens
+        layer = nn.TransformerEncoderLayer(
+            512, 8, dim_feedforward=2048, batch_first=True)
+        text_tower = nn.Sequential(
+            nn.TransformerEncoder(layer, num_layers=12)).eval()
+    x = torch.randn(args.batch, 3, args.seq_len, args.resolution,
+                    args.resolution)
+    gen = torch.Generator().manual_seed(1)
+
+    def index_to_log_onehot(idx):
+        oh = F.one_hot(idx, K).permute(0, 2, 1).float()
+        return torch.log(torch.clamp(oh, 1e-30, None))
+
+    def step():
+        opt.zero_grad()
+        with torch.no_grad():
+            tokens, _ = ae.nearest(ae.encode_z(x))        # dd.py:18-20
+            x0 = tokens.reshape(args.batch, -1)
+            cond = torch.zeros(args.batch, 1, args.cond_dim)
+            if text_tower is not None:
+                cond = text_tower(
+                    torch.randn(args.batch, 77, 512))[:, :1, :]
+        log_x_start = index_to_log_onehot(x0)
+        t = torch.randint(0, args.steps, (args.batch,), generator=gen)
+        # q_sample: q(x_t|x_0) + Gumbel categorical (dt.py:361-366)
+        with torch.no_grad():
+            logq = sampler.q_pred(log_x_start, t)
+            u = torch.rand(logq.shape, generator=gen)
+            g = -torch.log(-torch.log(u + 1e-30) + 1e-30)
+            xt = (logq + g).argmax(1)
+        log_xt = index_to_log_onehot(xt)
+        log_x0_recon = sampler.predict_start(log_xt, cond, t)
+        log_model_prob = sampler.q_posterior(log_x0_recon, log_xt, t)
+        with torch.no_grad():
+            log_true_prob = sampler.q_posterior(log_x_start, log_xt, t)
+        # multinomial KL + t==0 decoder NLL (dt.py:420-442)
+        kl = (log_true_prob.exp() * (log_true_prob - log_model_prob)).sum(1)
+        decoder_nll = -(log_x_start.exp() * log_model_prob).sum(1)
+        kl = torch.where((t == 0)[:, None], decoder_nll, kl)
+        loss = kl.mean()
+        loss.backward()
+        opt.step()
+        with torch.no_grad():                             # dd.py:41
+            hw = args.resolution // 8
+            pred = log_x0_recon[:, :-1].argmax(1).reshape(
+                args.batch, args.seq_len, hw, hw)
+            ae.decode_idx(torch.clamp(pred, 0, args.codes - 1))
+        return float(loss)
+
+    step()                                                # warmup
+    t0 = time.perf_counter()
+    for _ in range(args.steps_timed):
+        step()
+    return args.steps_timed / (time.perf_counter() - t0)  # steps/sec
 
 
 def time_torch(args):
@@ -327,6 +637,9 @@ def time_jax(args):
 
 def main():
     p = argparse.ArgumentParser()
+    p.add_argument("--metric", default="sampler",
+                   choices=["sampler", "vqvae_encdec", "vqvae_train",
+                            "train_step2"])
     p.add_argument("--codes", type=int, default=4096)
     p.add_argument("--tokens", type=int, default=1024)
     p.add_argument("--batch", type=int, default=4)
@@ -336,6 +649,17 @@ def main():
     p.add_argument("--heads", type=int, default=16)
     p.add_argument("--cond-dim", type=int, default=512)
     p.add_argument("--guidance", type=float, default=2.0)
+    # VQ-VAE twin dims (bench.py's _build_models / bench_train_step cfgs)
+    p.add_argument("--emb-dim", type=int, default=128)
+    p.add_argument("--hiddens", type=int, default=256)
+    p.add_argument("--res-layers", type=int, default=3)
+    p.add_argument("--resolution", type=int, default=64)
+    p.add_argument("--seq-len", type=int, default=4)
+    p.add_argument("--steps-timed", type=int, default=2)
+    p.add_argument("--cond-mode", default="label",
+                   choices=["label", "text"],
+                   help="train_step2 only: 'text' adds the frozen "
+                        "CLIP-text-tower-sized forward (MSRVTT job)")
     p.add_argument("--out", default="BASELINE_MEASURED.json")
     p.add_argument("--skip-jax", action="store_true")
     p.add_argument("--skip-torch", action="store_true",
@@ -343,6 +667,54 @@ def main():
                         "--out artifact (config must match) instead of "
                         "re-running the ~hour-long torch loop")
     args = p.parse_args()
+
+    host = {"machine": platform.machine(), "cpus": os.cpu_count(),
+            "torch": torch.__version__}
+
+    if args.metric != "sampler":
+        if args.metric == "vqvae_encdec":
+            value, unit = time_vqvae_encdec(args), "frames/sec"
+            config = {"batch": args.batch, "resolution": args.resolution,
+                      "codes": args.codes, "seq_len": args.seq_len,
+                      "res_layers": args.res_layers,
+                      "emb_dim": args.emb_dim, "hiddens": args.hiddens}
+            method = ("Reference-keyed VQ-VAE twin "
+                      "(videogpt_vq_vae.py:45-56), eval-mode encode+decode "
+                      "on this host CPU.")
+        elif args.metric == "vqvae_train":
+            value, unit = time_vqvae_train(args), "steps/sec"
+            config = {"batch": args.batch, "resolution": args.resolution,
+                      "codes": args.codes, "seq_len": args.seq_len,
+                      "res_layers": args.res_layers,
+                      "emb_dim": args.emb_dim, "hiddens": args.hiddens}
+            method = ("Reference-keyed VQ-VAE twin train step: forward "
+                      "with recon/commitment losses (videogpt_vq_vae.py:"
+                      "58-72), EMA codebook update (194-214), backward, "
+                      "Adam(4e-4, 0.5/0.999) (text_motion_model.py:"
+                      "139-144), on this host CPU.")
+        else:
+            value, unit = time_train_step2(args), "steps/sec"
+            config = {"batch": args.batch, "tokens": args.tokens,
+                      "codes": args.codes, "mode": args.cond_mode,
+                      "layers": args.layers, "embd": args.embd,
+                      "resolution": args.resolution,
+                      "seq_len": args.seq_len}
+            method = ("Reference stage-2 train step as committed: frozen "
+                      "VQ-VAE encode (dd.py:18-20), denoiser forward, "
+                      "dense log-space KL loss (dt.py:391-457), backward, "
+                      "Adam, every-step x0 decode (dd.py:41)"
+                      + ("; includes the frozen CLIP-text-tower-sized "
+                         "forward (clip_text_embedding.py:52-68)"
+                         if args.cond_mode == "text" else
+                         "; EXCLUDES the reference's zeroed CLIP forward "
+                         "(conservative denominator)") + ".")
+        result = {"kind": args.metric, "config": config, "host": host,
+                  "torch_cpu_value": round(value, 6), "unit": unit,
+                  "methodology": method}
+        with open(args.out, "w") as f:
+            json.dump(result, f, indent=1)
+        print(json.dumps(result))
+        return
 
     if args.skip_torch:
         with open(args.out) as f:
