@@ -40,6 +40,48 @@ def test_random_trials_ranges_and_log():
     assert max(lrs) / min(lrs) > 10
 
 
+def test_tpe_space_parse():
+    fixed, specs = _ns["_parse_tpe_space"](
+        ["lr=1e-5:1e-2:log", "bs=16,32", "datamodule=synthetic", "w=0:1"])
+    assert fixed == ["datamodule=synthetic"]
+    d = dict((k, (kind, data)) for k, kind, data in specs)
+    assert d["lr"] == ("num", (1e-5, 1e-2, True))
+    assert d["w"] == ("num", (0.0, 1.0, False))
+    assert d["bs"] == ("cat", ["16", "32"])
+
+
+def test_tpe_converges_on_quadratic():
+    """Deterministic (seeded): TPE beats its own startup phase and lands
+    near the optimum of f(x) = (x - 0.7)^2 within 40 trials."""
+    tpe = _ns["_TPESampler"]([("x", "num", (0.0, 1.0, False))], seed=0)
+    for _ in range(40):
+        p = tpe.suggest()
+        tpe.tell(p, (p["x"] - 0.7) ** 2)
+    xs = [h[1]["x"] for h in tpe.history]
+    assert min(h[0] for h in tpe.history) < 1e-3
+    # exploitation: late suggestions cluster near the optimum vs startup
+    early = sum(abs(x - 0.7) for x in xs[:10])
+    late = sum(abs(x - 0.7) for x in xs[-10:])
+    assert late < early / 2
+
+
+def test_tpe_log_and_categorical():
+    """Log-scale numeric + categorical: best lr spans decades correctly
+    and the good category dominates late suggestions."""
+    specs = [("lr", "num", (1e-5, 1e-1, True)),
+             ("opt", "cat", ["good", "bad"])]
+    tpe = _ns["_TPESampler"](specs, seed=1)
+    for _ in range(40):
+        p = tpe.suggest()
+        loss = abs(__import__("math").log10(p["lr"]) + 3)  # optimum 1e-3
+        loss += 0.0 if p["opt"] == "good" else 1.0
+        tpe.tell(p, loss)
+    late = tpe.history[-10:]
+    assert sum(1 for h in late if h[1]["opt"] == "good") >= 7
+    best_lr = min(tpe.history, key=lambda h: h[0])[1]["lr"]
+    assert 2e-4 < best_lr < 5e-3
+
+
 @pytest.mark.slow  # two tiny fits (~20s warm); helpers above stay fast
 @pytest.mark.filterwarnings("ignore")
 def test_sweep_end_to_end_two_trials(tmp_path, monkeypatch, capsys):
