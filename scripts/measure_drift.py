@@ -6,23 +6,38 @@ megakernel in the loop).
 The shipped megakernel samples with bf16-rounded matmul weights
 (ops/megakernel.py pack_denoiser_params; f32 accumulation). Its f32-weight
 variant is posterior-equivalent to the XLA paths (tests/test_megakernel.py),
-so the bf16-vs-f32 delta isolates the weight rounding. Two protocols, both
-at the honest BASELINE config (L=1024 tokens, K=4097, 19 layers, CFG 2,
-100 steps):
+so the bf16-vs-f32 delta isolates the weight rounding.
 
-1. **Coupled per-step drift** (XLA, follows the f32 trajectory): at every
-   reverse step, compute the full (B, K, L) posterior twice — f32 params
-   vs bf16-rounded params (exactly the tensors pack_denoiser_params casts;
-   biases/LN/embeddings stay f32) — draw with the SAME Gumbel noise, and
-   record token flip rate, |delta log p| stats, and total-variation
-   distance of the posteriors. No compounding: this is the per-step effect.
+**Precision subtlety (measured on the tunnel chip, round 4):** under the
+TPU's DEFAULT matmul precision XLA truncates f32 matmul operands to bf16
+anyway, so "f32 params at default precision" and "bf16-rounded params" are
+BIT-IDENTICAL (probe: max |out_f32w - out_bf16w| = 0.0 at default, 0.12 at
+precision=highest on a 19-layer forward). The shipped megakernel's bf16
+weight packing therefore introduces ZERO drift relative to the f32 XLA
+path as it actually executes on TPU. The honest reference for parity
+claims is TRUE f32 (what the torch reference computes on CPU), i.e. the
+f32-param side must run under jax.default_matmul_precision('highest').
+
+Two protocols, both at the honest BASELINE config (L=1024 tokens, K=4097,
+19 layers, CFG 2, 100 steps):
+
+1. **Coupled per-step drift** (XLA, follows the true-f32 trajectory): at
+   every reverse step, compute the full (B, K, L) posterior twice —
+   f32 params at matmul precision 'highest' (the true-f32 reference) vs
+   bf16-rounded params at default precision (exactly the megakernel's
+   numerics: bf16 operands, f32 accumulation; the tensors
+   pack_denoiser_params casts — biases/LN/embeddings stay f32) — draw
+   with the SAME Gumbel noise, and record token flip rate, |delta log p|
+   stats, and total-variation distance of the posteriors. No compounding:
+   this is the per-step effect.
 
 2. **End-to-end megakernel run**: megakernel_sample_tokens with
    weights_dtype bf16 vs f32, same rng (the kernel's per-(row,branch)
    hardware PRNG streams are seed-derived, so the Gumbel draws are shared).
-   Final-token disagreement — includes 100 steps of chaotic compounding,
-   so it upper-bounds nothing about distribution quality on its own; the
-   distribution-level numbers in (1) are the parity evidence.
+   Expected 0.0 disagreement on TPU (MXU default precision truncates the
+   f32-weight operands to bf16 anyway — see above); recorded as evidence
+   that the bf16 packing is drift-free VS THE KERNEL'S OWN f32 MODE. The
+   true-f32 comparison lives in protocol (1).
 
 Writes PARITY_DRIFT.json; tests/test_drift_bounds.py (tpu tier) asserts
 the recorded bounds stay honored.
@@ -88,6 +103,12 @@ def main():
     p.add_argument("--mk-batch", type=int, default=32,
                    help="end-to-end megakernel batch (the bench config)")
     p.add_argument("--config", default="honest", choices=["honest", "half"])
+    p.add_argument("--steps", type=int, default=None,
+                   help="override the reverse-process length (spot checks; "
+                        "the committed artifact uses the config's 100)")
+    p.add_argument("--skip-e2e", action="store_true",
+                   help="skip the end-to-end megakernel run (saves its "
+                        "multi-minute Mosaic compile in spot checks)")
     p.add_argument("--out", default=None)
     args = p.parse_args()
 
@@ -105,7 +126,7 @@ def main():
         megakernel_sample_tokens)
 
     K = bench.N_CODES + 1
-    T = bench.DIFFUSION_STEPS
+    T = args.steps or bench.DIFFUSION_STEPS
     seq = bench._seq_len()
     spatial = {1024: (32, 32), 2304: (48, 48)}.get(seq, (seq // 8, 8))
     model = DenoiserTransformer(
@@ -124,18 +145,21 @@ def main():
     cond = jax.random.normal(jax.random.key(5), (B, 1, 512)) * 0.02
     cond2 = jnp.concatenate([cond, jnp.zeros_like(cond)], axis=0)
 
-    def posterior(prm, tokens, t_scalar):
-        x2 = jnp.concatenate([tokens, tokens], axis=0)
-        t2 = jnp.full((2 * B,), t_scalar, jnp.int32)
-        logits2 = model.apply({"params": prm}, x2, cond2, t2)
-        log_x_recon = _guided_log_x_recon(logits2, guidance, B)
-        return _analytic_posterior(sched, log_x_recon, tokens, t_scalar)
+    def posterior(prm, tokens, t_scalar, precision):
+        # 'highest' = true f32 (the torch reference's numerics); 'default'
+        # = TPU MXU bf16-operand/f32-accumulate (the megakernel's numerics)
+        with jax.default_matmul_precision(precision):
+            x2 = jnp.concatenate([tokens, tokens], axis=0)
+            t2 = jnp.full((2 * B,), t_scalar, jnp.int32)
+            logits2 = model.apply({"params": prm}, x2, cond2, t2)
+            log_x_recon = _guided_log_x_recon(logits2, guidance, B)
+            return _analytic_posterior(sched, log_x_recon, tokens, t_scalar)
 
     def step(carry, t_scalar):
         tokens, rng = carry
         rng, s = jax.random.split(rng)
-        post_f = posterior(params, tokens, t_scalar)
-        post_b = posterior(params_b16, tokens, t_scalar)
+        post_f = posterior(params, tokens, t_scalar, "highest")
+        post_b = posterior(params_b16, tokens, t_scalar, "default")
         u = jax.random.uniform(s, post_f.shape, jnp.float32)
         g = -jnp.log(-jnp.log(u + 1e-30) + 1e-30)
         tok_f = jnp.argmax(post_f + g, axis=1).astype(jnp.int32)
@@ -160,22 +184,24 @@ def main():
     tv_mean, tv_max = np.asarray(tv_mean), np.asarray(tv_max)
 
     # --- end-to-end megakernel bf16 vs f32, shared seeds ---
-    mkB = args.mk_batch
-    mcond = jax.random.normal(jax.random.key(6), (mkB, 1, 512)) * 0.02
+    e2e_disagree = None
+    if not args.skip_e2e:
+        mkB = args.mk_batch
+        mcond = jax.random.normal(jax.random.key(6), (mkB, 1, 512)) * 0.02
 
-    def run_mk(wd):
-        fn = jax.jit(lambda r: megakernel_sample_tokens(
-            r, sched, params, mcond, jnp.zeros_like(mcond), mkB, seq,
-            spatial_size=spatial, n_layer=19, n_head=16, n_embd=64,
-            diffusion_step=T, guidance_scale=guidance, weights_dtype=wd))
-        out = fn(jax.random.key(2))
-        return np.asarray(out)
+        def run_mk(wd):
+            fn = jax.jit(lambda r: megakernel_sample_tokens(
+                r, sched, params, mcond, jnp.zeros_like(mcond), mkB, seq,
+                spatial_size=spatial, n_layer=19, n_head=16, n_embd=64,
+                diffusion_step=T, guidance_scale=guidance, weights_dtype=wd))
+            out = fn(jax.random.key(2))
+            return np.asarray(out)
 
-    print("running megakernel bf16...", flush=True)
-    tok_b16 = run_mk(jnp.bfloat16)
-    print("running megakernel f32...", flush=True)
-    tok_f32 = run_mk(jnp.float32)
-    e2e_disagree = float(np.mean(tok_b16 != tok_f32))
+        print("running megakernel bf16...", flush=True)
+        tok_b16 = run_mk(jnp.bfloat16)
+        print("running megakernel f32...", flush=True)
+        tok_f32 = run_mk(jnp.float32)
+        e2e_disagree = float(np.mean(tok_b16 != tok_f32))
 
     result = {
         "config": {"tokens": seq, "codes": bench.N_CODES, "steps": T,
@@ -190,18 +216,26 @@ def main():
             "tv_mean": round(float(tv_mean.mean()), 6),
             "tv_max": round(float(tv_max.max()), 6),
         },
-        "end_to_end_megakernel": {
-            "final_token_disagreement": round(e2e_disagree, 4),
-            "note": ("includes 100 steps of chaotic compounding of the "
-                     "per-step flips; distribution-level parity evidence "
-                     "is coupled_per_step"),
+        "end_to_end_megakernel": None if e2e_disagree is None else {
+            "final_token_disagreement_bf16w_vs_f32w": round(e2e_disagree, 4),
+            "note": ("bf16 vs f32 weights_dtype under MXU default precision "
+                     "— expected 0.0 (default precision truncates f32 "
+                     "operands to bf16 anyway), i.e. the bf16 packing is "
+                     "drift-free vs the kernel's own f32 mode; the true-f32 "
+                     "reference comparison is coupled_per_step"),
         },
         "methodology": (
-            "Coupled: same f32 trajectory + same Gumbel noise per step; "
-            "posteriors from f32 params vs bf16-rounded params (exactly "
-            "pack_denoiser_params' cast set). End-to-end: "
-            "megakernel_sample_tokens weights_dtype bf16 vs f32, same rng "
-            "(shared per-(row,branch) PRNG streams)."),
+            "Coupled: same true-f32 trajectory + same Gumbel noise per "
+            "step; posteriors from f32 params at matmul precision "
+            "'highest' (the torch reference's numerics) vs bf16-rounded "
+            "params at default precision (the megakernel's numerics: bf16 "
+            "operands, f32 accumulation; exactly pack_denoiser_params' "
+            "cast set). End-to-end: megakernel_sample_tokens weights_dtype "
+            "bf16 vs f32, same rng (shared per-(row,branch) PRNG streams). "
+            "Probe facts (tunnel chip): f32-params@default is bit-identical "
+            "to bf16-params@default on a 19-layer forward (max delta 0.0; "
+            "0.12 at highest), so all coupled drift reported here is the "
+            "TPU's shared bf16-operand rounding vs true f32."),
     }
     out_path = args.out or os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
