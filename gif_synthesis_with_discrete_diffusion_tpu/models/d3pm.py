@@ -535,6 +535,33 @@ def train_loss(rng: jax.Array, sched: D3PMSchedule, denoise_fn: DenoiseFn,
     return vb_loss, aux, new_lt
 
 
+def update_diffusion_telemetry(acc: jax.Array, keep: jax.Array,
+                               t: jax.Array, x0_recon: jax.Array,
+                               x_start: jax.Array, xt: jax.Array,
+                               xt_1_recon: jax.Array):
+    """Per-timestep acc/keep EMA telemetry (dt.py:139-140, 407-417).
+
+    ``acc[t]``: EMA (decay 0.9) of the fraction of tokens where the
+    predicted x0 argmax equals the true x0, bucketed by the sample's
+    timestep. ``keep[t]``: same for posterior-argmax == x_t (how much of
+    the noisy state a step keeps). The reference computes these in a
+    Python loop over the batch and never logs them; here the sequential
+    per-sample EMA order is replicated with a ``fori_loop`` (duplicate t
+    within a batch compounds, exactly like the reference) and the buffers
+    live in the ``diffusion`` collection so they checkpoint/resume with
+    the Lt state. Returns (new_acc, new_keep), each (T,)."""
+    def body(i, bufs):
+        a, k = bufs
+        same_acc = jnp.mean((x0_recon[i] == x_start[i]).astype(jnp.float32))
+        same_keep = jnp.mean(
+            (xt_1_recon[i] == xt[i]).astype(jnp.float32))
+        ti = t[i]
+        a = a.at[ti].set(same_acc * 0.1 + a[ti] * 0.9)
+        k = k.at[ti].set(same_keep * 0.1 + k[ti] * 0.9)
+        return (a, k)
+    return jax.lax.fori_loop(0, x_start.shape[0], body, (acc, keep))
+
+
 # ---------------------------------------------------------------------------
 # sampling
 # ---------------------------------------------------------------------------

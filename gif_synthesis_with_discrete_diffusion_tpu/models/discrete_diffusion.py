@@ -79,6 +79,16 @@ class D3PM(nn.Module):
         self._lt_count = self.variable(
             "diffusion", "lt_count",
             lambda: jnp.zeros((self.diffusion_step,), jnp.float32))
+        # per-timestep acc/keep EMA telemetry (dt.py:139-140, 407-417 —
+        # the reference computes these but never logs them; here they are
+        # checkpointed with the Lt state and surfaced as diffusion_acc /
+        # diffusion_keep batch scalars, logged by the trainers)
+        self._diff_acc = self.variable(
+            "diffusion", "diffusion_acc",
+            lambda: jnp.zeros((self.diffusion_step,), jnp.float32))
+        self._diff_keep = self.variable(
+            "diffusion", "diffusion_keep",
+            lambda: jnp.zeros((self.diffusion_step,), jnp.float32))
         if self.learnable_cf:
             self.empty_text_embed = self.param(
                 "empty_text_embed", nn.initializers.normal(1.0),
@@ -126,10 +136,21 @@ class D3PM(nn.Module):
         if train and not self.is_initializing():
             self._lt_history.value = new_lt.history
             self._lt_count.value = new_lt.count
+            self._diff_acc.value, self._diff_keep.value = (
+                d3pm.update_diffusion_telemetry(
+                    self._diff_acc.value, self._diff_keep.value, aux["t"],
+                    aux["x0_recon"], content_token, aux["xt"],
+                    aux["xt_1_recon"]))
         b, L = content_token.shape
         loss = jnp.sum(vb_loss) / (b * L)   # dt.py:554
+        # batch-level telemetry scalars (this step, not the EMA buffers)
+        acc = jnp.mean((aux["x0_recon"] == content_token)
+                       .astype(jnp.float32))
+        keep = jnp.mean((aux["xt_1_recon"] == aux["xt"])
+                        .astype(jnp.float32))
         return {"loss": loss, "pred_data": aux["x0_recon"],
-                "logits": jnp.exp(aux["log_model_prob"])}
+                "logits": jnp.exp(aux["log_model_prob"]),
+                "diffusion_acc": acc, "diffusion_keep": keep}
 
     def sample(self, cond_emb: Optional[jax.Array],
                cf_cond_emb: Optional[jax.Array], batch_size: int,

@@ -97,7 +97,10 @@ class Stage2Trainer(Trainer):
         self.generator = make_discrete_diffusion(
             self.model_cfg, num_embed=self.autoencoder.n_codes,
             latent_shape=self.latent_shape)
-        self._names = [n for n in self.loss_dict] + ["total"]
+        # + the per-step diffusion telemetry scalars (dt.py:407-417,
+        # computed-but-never-logged in the reference; logged here)
+        self._names = ([n for n in self.loss_dict] + ["total"]
+                       + ["diffusion_acc", "diffusion_keep"])
         tenc = self.model_cfg.get("generator", {}).get("textencoder") or {}
         tenc = tenc if isinstance(tenc, Mapping) else {}
         self._text_mode = tenc.get("mode") == "text"
@@ -315,6 +318,11 @@ def _train_step(state: Stage2State, batch, rng, *, autoencoder, generator,
         out, new_diff = _gen_apply(generator, params, state.diffusion,
                                    batch, flat, rng, True)
         total, values = weighted_losses(loss_dict, {"losses": out["loss"]})
+        # per-step x0-accuracy / keep-rate telemetry (logged as
+        # diffusion/acc/<split>; the reference computes-but-never-logs
+        # these, dt.py:407-417)
+        values["diffusion_acc"] = out["diffusion_acc"]
+        values["diffusion_keep"] = out["diffusion_keep"]
         return total, (values, new_diff)
 
     (_, (values, new_diff)), grads = jax.value_and_grad(
@@ -333,6 +341,8 @@ def _eval_step(state: Stage2State, batch, rng, *, autoencoder, generator,
     out, _ = _gen_apply(generator, state.gen_params, state.diffusion,
                         batch, flat, rng, False)
     _, values = weighted_losses(loss_dict, {"losses": out["loss"]})
+    values["diffusion_acc"] = out["diffusion_acc"]
+    values["diffusion_keep"] = out["diffusion_keep"]
     return values
 
 

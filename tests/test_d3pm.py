@@ -241,3 +241,31 @@ def test_true_q_posterior_matches_dense():
         np.testing.assert_allclose(np.asarray(fast), np.asarray(dense),
                                    rtol=2e-5, atol=2e-5,
                                    err_msg=f"t={t_val}")
+
+
+def test_update_diffusion_telemetry_matches_python_loop():
+    """EMA bucketing matches the reference's sequential per-sample loop
+    (dt.py:407-417), including duplicate-t compounding within a batch."""
+    rng = np.random.default_rng(0)
+    T, B, L = 5, 4, 8
+    t = np.array([1, 3, 1, 0])                 # t=1 appears twice
+    x0_recon = rng.integers(0, 4, (B, L))
+    x_start = rng.integers(0, 4, (B, L))
+    xt = rng.integers(0, 4, (B, L))
+    xt_1 = rng.integers(0, 4, (B, L))
+    acc = rng.random(T).astype(np.float32)     # nonzero starting EMAs
+    keep = rng.random(T).astype(np.float32)
+
+    exp_a, exp_k = acc.copy(), keep.copy()
+    for i in range(B):                         # the reference's loop
+        sa = (x0_recon[i] == x_start[i]).mean()
+        exp_a[t[i]] = sa * 0.1 + exp_a[t[i]] * 0.9
+        sk = (xt_1[i] == xt[i]).mean()
+        exp_k[t[i]] = sk * 0.1 + exp_k[t[i]] * 0.9
+
+    got_a, got_k = jax.jit(d3pm.update_diffusion_telemetry)(
+        jnp.asarray(acc), jnp.asarray(keep), jnp.asarray(t),
+        jnp.asarray(x0_recon), jnp.asarray(x_start), jnp.asarray(xt),
+        jnp.asarray(xt_1))
+    np.testing.assert_allclose(np.asarray(got_a), exp_a, rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(got_k), exp_k, rtol=1e-6)

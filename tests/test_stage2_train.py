@@ -61,6 +61,22 @@ def test_stage2_fast_dev_run(trained):
         t.state.diffusion["diffusion"]["lt_count"]).sum()) == 2 * 8
 
 
+def test_stage2_diffusion_telemetry(trained):
+    """acc/keep telemetry (dt.py:407-417, computed-but-never-logged in the
+    reference): logged per split AND EMA-bucketed into the diffusion
+    collection."""
+    t, metrics = trained
+    for key in ("diffusion/acc/train", "diffusion/keep/train",
+                "diffusion/acc/val", "diffusion/keep/val"):
+        assert 0.0 <= metrics[key] <= 1.0, key
+    diff = jax.device_get(t.state.diffusion["diffusion"])
+    for name in ("diffusion_acc", "diffusion_keep"):
+        buf = np.asarray(diff[name])
+        assert buf.shape == (4,)
+        assert buf.sum() > 0.0          # some bucket was written
+        assert (buf >= 0.0).all() and (buf <= 1.0).all()
+
+
 def test_stage2_sampling_produces_videos(trained):
     t, _ = trained
     batch = next(iter(t.datamodule.val_batches(0)))
