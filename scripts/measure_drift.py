@@ -207,7 +207,8 @@ def main():
         "config": {"tokens": seq, "codes": bench.N_CODES, "steps": T,
                    "layers": 19, "embd": 64, "heads": 16,
                    "guidance": guidance, "coupled_batch": B,
-                   "megakernel_batch": mkB},
+                   "megakernel_batch": None if args.skip_e2e
+                   else args.mk_batch},
         "coupled_per_step": {
             "token_flip_rate_mean": round(float(flip.mean()), 6),
             "token_flip_rate_max": round(float(flip.max()), 6),
