@@ -24,6 +24,13 @@ engineering estimate). ``--metric`` selects the BASELINE config:
   (clip_text_embedding.py:52-68; cost twin, not weight twin). The default
   label/null twin EXCLUDES the reference's (zeroed) CLIP forward — a
   conservative denominator.
+* ``fvd_pipeline`` (config 5): the full reference eval pipeline —
+  100-step sampling (dt.py:568-644) -> VQ decode (dd.py:62) -> evaluator
+  preprocessing (un-normalize -> uint8 -> 224px -> x2 -> temporal repeat,
+  evaluator.py:41-76) -> I3D logits on GT + generated (the REFERENCE'S
+  OWN pytorch_i3d.py, imported read-only, random init to match bench's
+  relative-timing mode) -> Fréchet with the SVD matrix sqrt
+  (evaluator.py:121-179). clips/sec; sampling-dominated by construction.
 
 Writes one artifact per metric (BASELINE_MEASURED*.json) with a ``kind``
 field bench.py matches on:
@@ -573,6 +580,87 @@ def time_train_step2(args):
     return args.steps_timed / (time.perf_counter() - t0)  # steps/sec
 
 
+def time_fvd_pipeline(args):
+    """BASELINE config 5 denominator: sample -> decode -> I3D -> FVD,
+    one timed end-to-end pass (see module docstring). clips/sec."""
+    import importlib.util
+
+    torch.manual_seed(0)
+    torch.set_num_threads(os.cpu_count() or 8)
+    spec = importlib.util.spec_from_file_location(
+        "ref_pytorch_i3d",
+        "/root/reference/src/models/motionencoder/pytorch_i3d.py")
+    ref = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(ref)
+    i3d = ref.InceptionI3d(num_classes=400).eval()
+
+    K = args.codes + 1
+    spatial = (args.tokens // 8, 8)
+    model = TorchDenoiser(args.layers, args.embd, args.heads, args.codes,
+                          args.cond_dim, args.steps, spatial).eval()
+    sampler = TorchSampler(model, args.steps, K, args.guidance)
+    ae = TorchVQVAE(args.emb_dim, args.hiddens, args.codes, 2,
+                    (1, 8, 8)).eval()
+    mean = torch.tensor([0.485, 0.456, 0.406]).view(1, 3, 1, 1, 1)
+    std = torch.tensor([0.229, 0.224, 0.225]).view(1, 3, 1, 1, 1)
+
+    def prepare(video):  # (B,3,T,H,W) normalized -> I3D input at 224px
+        u8 = torch.round(
+            torch.clamp(video * std + mean, 0, 1) * 255).to(torch.uint8)
+        x = u8.float() / 255.0
+        b, c, t, h, w = x.shape
+        x = F.interpolate(
+            x.permute(0, 2, 1, 3, 4).reshape(b * t, c, h, w),
+            size=(224, 224), mode="bilinear", align_corners=False)
+        x = x.reshape(b, t, c, 224, 224).permute(0, 2, 1, 3, 4)
+        x = (x - mean) / std * 2.0                    # x2 quirk, ev.py:60
+        if t < 16:
+            x = x.repeat_interleave(-(-16 // t), dim=2)[:, :, :16]
+        return x
+
+    def frechet(x1, x2):  # evaluator.py:121-179 in numpy f64
+        x1 = np.asarray(x1, np.float64).reshape(x1.shape[0], -1)
+        x2 = np.asarray(x2, np.float64).reshape(x2.shape[0], -1)
+
+        def cov(m):
+            m = m - m.mean(0, keepdims=True)
+            return m.T @ m / (m.shape[0] - 1)
+
+        def msqrt(mat, eps=1e-10):
+            u, s, vt = np.linalg.svd(mat)
+            return u @ np.diag(np.where(s < eps, s, np.sqrt(s))) @ vt
+
+        s1, s2 = cov(x1), cov(x2)
+        sq = msqrt(s1)
+        tsp = float(np.trace(msqrt(sq @ s2 @ sq)))
+        m = x1.mean(0) - x2.mean(0)
+        return float(np.trace(s1 + s2)) - 2 * tsp + float((m ** 2).sum())
+
+    cond = torch.randn(args.batch, 1, args.cond_dim)
+    cf = torch.zeros(args.batch, 1, args.cond_dim)
+    gt = torch.randn(args.batch, 3, args.seq_len, args.resolution,
+                     args.resolution) * 0.3
+    gen = torch.Generator().manual_seed(1)
+    hw = args.resolution // 8
+
+    with torch.no_grad():                             # warm the kernels
+        TorchSampler(model, 2, K, args.guidance).sample(
+            args.batch, args.tokens, cond, cf, gen)
+        i3d(prepare(gt))
+    t0 = time.perf_counter()
+    with torch.no_grad():
+        toks = sampler.sample(args.batch, args.tokens, cond, cf, gen)
+        vid = ae.decode_idx(torch.clamp(
+            toks.reshape(args.batch, args.seq_len, hw, hw),
+            0, args.codes - 1))
+        e_gen = i3d(prepare(vid)).reshape(args.batch, -1).numpy()
+        e_gt = i3d(prepare(gt)).reshape(args.batch, -1).numpy()
+    fvd = frechet(e_gen, e_gt)
+    dt = time.perf_counter() - t0
+    assert np.isfinite(fvd)
+    return args.batch / dt
+
+
 def time_torch(args):
     torch.manual_seed(0)
     torch.set_num_threads(os.cpu_count() or 8)
@@ -639,7 +727,7 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--metric", default="sampler",
                    choices=["sampler", "vqvae_encdec", "vqvae_train",
-                            "train_step2"])
+                            "train_step2", "fvd_pipeline"])
     p.add_argument("--codes", type=int, default=4096)
     p.add_argument("--tokens", type=int, default=1024)
     p.add_argument("--batch", type=int, default=4)
@@ -692,6 +780,21 @@ def main():
                       "58-72), EMA codebook update (194-214), backward, "
                       "Adam(4e-4, 0.5/0.999) (text_motion_model.py:"
                       "139-144), on this host CPU.")
+        elif args.metric == "fvd_pipeline":
+            value, unit = time_fvd_pipeline(args), "clips/sec"
+            config = {"tokens": args.tokens, "codes": args.codes,
+                      "resolution": args.resolution,
+                      "seq_len": args.seq_len, "batch": args.batch}
+            method = ("Full reference eval pipeline: 100-step sampling "
+                      "(dt.py:568-644) + VQ decode (dd.py:62) + evaluator "
+                      "preprocessing (evaluator.py:41-76) + the "
+                      "reference's own pytorch_i3d (random init) on GT + "
+                      "generated + Frechet SVD sqrt (evaluator.py:"
+                      "121-179), one timed pass on this host CPU. "
+                      "clips/sec normalizes the batch; the jax bench "
+                      "runs batch 32, this twin a small batch (sampling "
+                      "dominates and scales ~linearly in batch on CPU, "
+                      "so per-clip cost is comparable).")
         else:
             value, unit = time_train_step2(args), "steps/sec"
             config = {"batch": args.batch, "tokens": args.tokens,
