@@ -27,6 +27,14 @@ import json
 import os
 import time
 
+# Force the CPU backend BEFORE any jax import (tests/conftest.py pattern):
+# JAX_PLATFORMS alone is overridden by the axon TPU plugin, and a silent
+# fallback to the TPU would (a) measure the wrong backend and (b) collide
+# with the one-process-per-TPU constraint. time_jax_parts asserts the
+# platform after import.
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["JAX_PLATFORM_NAME"] = "cpu"
+
 import numpy as np
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
@@ -50,8 +58,6 @@ def time_torch_parts(args, mtb):
     model = mtb.TorchDenoiser(args.layers, args.embd, args.heads,
                               args.codes, args.cond_dim, args.steps,
                               spatial).eval()
-    sampler = mtb.TorchSampler(model, args.steps, args.codes + 1,
-                               args.guidance)
     cond = torch.randn(args.batch, 1, args.cond_dim)
     cf = torch.zeros(args.batch, 1, args.cond_dim)
     gen = torch.Generator().manual_seed(1)
@@ -79,7 +85,10 @@ def time_torch_parts(args, mtb):
 def time_jax_parts(args):
     import jax
 
-    jax.config.update("jax_platforms", "cpu")
+    assert jax.devices()[0].platform == "cpu", (
+        f"CPU forcing failed: jax is on {jax.devices()[0].platform!r}; "
+        "refusing to time (would measure the TPU and collide with the "
+        "one-process-per-TPU constraint)")
     import jax.numpy as jnp
 
     from gif_synthesis_with_discrete_diffusion_tpu.models import d3pm
@@ -172,15 +181,16 @@ def main():
         with open(args.artifact) as f:
             art = json.load(f)
         if fwd_ratio < 0.95:
-            cause = ("the 19-layer denoiser forward itself: XLA-CPU runs "
+            cause = ("the %d-layer denoiser forward itself: XLA-CPU runs "
                      "the identical math %.2fx slower than torch's "
-                     "oneDNN/MKL kernels (16 heads of depth %d are "
+                     "oneDNN/MKL kernels (%d heads of depth %d are "
                      "gather/transpose-heavy shapes XLA-CPU tiles poorly)"
-                     % (1 / max(fwd_ratio, 1e-9), args.embd // args.heads))
-        elif tail_ratio < 0.95:
+                     % (args.layers, 1 / max(fwd_ratio, 1e-9), args.heads,
+                        args.embd // args.heads))
+        elif 0 < tail_ratio < 0.95:
             cause = ("the sampler tail: the token-space posterior is "
                      "%.2fx slower under XLA-CPU than torch's dense ops"
-                     % (1 / max(tail_ratio, 1e-9)))
+                     % (1 / tail_ratio))
         else:
             cause = ("neither half reproduces the gap in isolation "
                      "(scan/dispatch overhead)")
@@ -190,9 +200,9 @@ def main():
             "(scripts/diagnose_cpu_gap.py) attributes it to " + cause +
             ". torch 2xfwd %.2fs + tail %.2fs vs jax fused fwd %.2fs + "
             "tail %.2fs per step. The production TPU path (megakernel) "
-            "shares none of these kernels; on-chip it is %s." % (
-                2 * tt["fwd_s"], tt["tail_s"], tj["fwd_s"], tj["tail_s"],
-                "2903x the torch-CPU denominator (BENCH_r03)"))
+            "shares none of these kernels; see bench.py's vs_baseline on "
+            "the latest BENCH_r*.json for the on-chip ratio." % (
+                2 * tt["fwd_s"], tt["tail_s"], tj["fwd_s"], tj["tail_s"]))
         art["cpu_gap_parts"] = result
         with open(args.artifact, "w") as f:
             json.dump(art, f, indent=1)

@@ -756,6 +756,26 @@ def main():
                         "re-running the ~hour-long torch loop")
     args = p.parse_args()
 
+    if args.metric in ("fvd_pipeline", "train_step2"):
+        # These metrics reshape the sampled/encoded tokens to
+        # (batch, seq_len, hw, hw) with hw = resolution // 8, so
+        # tokens == seq_len * hw * hw must hold. Validate UP FRONT (the
+        # reshape otherwise fires only after the ~40-minute timed CPU
+        # sampling pass) and derive seq_len from tokens when the default
+        # (4, the vqvae metrics' clip length) doesn't match.
+        hw = args.resolution // 8
+        if args.tokens % (hw * hw) != 0:
+            raise SystemExit(
+                f"--tokens {args.tokens} is not a multiple of "
+                f"(resolution//8)^2 = {hw * hw}; pick tokens/resolution "
+                f"so the token grid factors into frames")
+        needed = args.tokens // (hw * hw)
+        if args.seq_len != needed:
+            print(f"deriving --seq-len {needed} from --tokens "
+                  f"{args.tokens} at {args.resolution}px "
+                  f"(was {args.seq_len})", flush=True)
+            args.seq_len = needed
+
     host = {"machine": platform.machine(), "cpus": os.cpu_count(),
             "torch": torch.__version__}
 
