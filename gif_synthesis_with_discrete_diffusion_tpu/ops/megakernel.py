@@ -253,6 +253,28 @@ _SCORES_BF16 = False
 # shapes (production self-attention always has lk = L > 64).
 _SMALL_LK_MAX = 64
 
+# CFG-packed variant (round 5): merge the two classifier-free-guidance
+# branches into ONE grid step and pack their self-attention QK score
+# matmuls along the contraction axis — [q_cond | q_unc] (qb, 2C=128) x a
+# branch-and-head block-diagonal K stack (2HL, 128) -> [scores_c |
+# scores_u]. The depth-64 QK contraction is the step's dominant
+# MXU-equivalent term (DESIGN.md round-4 table: 4.29 of 8.14 TFLOP); the
+# zero-padded 128-deep pass executes 2x the FLOPs at full array depth —
+# cost-neutral in the roofline model, but measured FASTER in practice
+# (scripts/depth_pack_probe.py: two independent pipelined d64 matmuls
+# 17.9 us vs one packed d128 14.85 us at the QK shape — per-matmul
+# overheads make real d64 slightly worse than the modeled half rate).
+# Side benefits: the token embedding gather runs once instead of per
+# branch, shared-weight matmuls (QKV/proj/MLP/logits) run row-stacked
+# (2L rows, half the dispatches), and the conditional branch's final
+# hidden states no longer need the VMEM scratch + logits recompute.
+# Gated to use_cfg and L <= _PACK_CFG_MAX_SEQ (the paired score slab is
+# (qb, 2HL) f32 = 32 MB at L=1024; the MSRVTT 2304 grid would need 73 MB
+# and stays on the 2-branch kernel). Default set by the on-chip A/B
+# (DESIGN.md round-5 log).
+_PACK_CFG = False
+_PACK_CFG_MAX_SEQ = 1024
+
 # Fold softmax denominators into a second small-output matmul:
 # out = (e @ Vstack) / (e @ block_sel), normalizing on the (qb, C) OUTPUT
 # instead of dividing the (qb, H*lk) slab. Sounds like fewer passes; LOSES
@@ -656,6 +678,224 @@ def _sample_block(sched_ref, r, tok, out_ref, kvalid, *, r0, num_classes,
         score_mask > best_val, jnp.int32(num_classes - 1), best)
 
 
+def _kernel_packed(sched_ref, seed_ref, tokens_ref, adaln_ref, kc_ref,
+                   vc_ref, emb_ref, pos_ref,
+                   wqkv_ref, bqkv_ref, wproj_ref, bproj_ref, wq_c_ref,
+                   bq_c_ref, wproj_c_ref, bproj_c_ref, ln2s_ref, ln2b_ref,
+                   wfc_ref, bfc_ref, wpj_ref, bpj_ref,
+                   lno_ref, wlog_ref, blog_ref,
+                   out_ref, *,
+                   n_layer: int, n_head: int, n_embd: int, k_valid: int,
+                   s_valid: int, guidance: float, num_classes: int,
+                   sample_mode: bool = True, cross_as_bias: bool = False):
+    """CFG-packed megakernel step: both guidance branches in ONE grid step,
+    self-attention QK packed to a 128-deep contraction (see _PACK_CFG).
+    Identical math to _kernel(use_cfg=True) — the packed QK adds only
+    zero products; shared-weight matmuls are row-stacked (exact per row);
+    the Gumbel stream matches the 2-branch kernel's branch-1 stream (the
+    PRNG is seeded per batch row and branch 0 never draws)."""
+    b = pl.program_id(0)
+    L = tokens_ref.shape[2]
+    d = n_embd // n_head
+    kp = wlog_ref.shape[1]
+    sp = kc_ref.shape[3]
+
+    # --- token embedding: ONCE for both branches (same tokens) ------------
+    tok = tokens_ref[0, 0]                                   # (L,)
+    tab = emb_ref.shape[0]
+    tchunk = tab if tab <= _EMB_CHUNK_LIMIT else _EMB_CHUNK_ROWS
+    x0 = pos_ref[...]                                        # (L, C) f32
+    for c0 in range(0, tab, tchunk):
+        cs = min(tchunk, tab - c0)
+        col = jax.lax.broadcasted_iota(jnp.int32, (L, cs), 1) + c0
+        onehot = jnp.where(col == tok[:, None], 1.0, 0.0)
+        x0 = x0 + _mm(onehot, emb_ref[c0:c0 + cs, :])
+
+    scale = 1.0 / math.sqrt(d)
+    HL = n_head * L
+
+    def paired_self_attention(qc, kc_, vc_, qu, ku, vu):
+        """Both branches' head-stacked self-attention with the QK score
+        matmuls fused into one 128-deep pass. Per-branch V stacks keep PV
+        at its already-full contraction depth (block-diag-packing PV
+        would double its executed FLOPs at no depth gain)."""
+        # per-branch masked V stacks, identical to _kernel's layout
+        row_h = jax.lax.broadcasted_iota(
+            jnp.int32, (HL, n_embd), 0) // L
+        col_h = jax.lax.broadcasted_iota(
+            jnp.int32, (HL, n_embd), 1) // d
+        block = row_h == col_h
+        vstack_c = jnp.where(block, jnp.concatenate([vc_] * n_head, axis=0),
+                             0.0).astype(jnp.bfloat16)
+        vstack_u = jnp.where(block, jnp.concatenate([vu] * n_head, axis=0),
+                             0.0).astype(jnp.bfloat16)
+        # branch-and-head block-diagonal K stack (2HL, 2C): row br*HL+h*L+j
+        # is key j of head h of branch br; column c belongs to branch
+        # c // C, head (c % C) // d
+        prow = jax.lax.broadcasted_iota(jnp.int32, (2 * HL, 2 * n_embd), 0)
+        pcol = jax.lax.broadcasted_iota(jnp.int32, (2 * HL, 2 * n_embd), 1)
+        pmask = ((prow // HL == pcol // n_embd)
+                 & ((prow % HL) // L == (pcol % n_embd) // d))
+        kcat = jnp.concatenate([kc_] * n_head + [ku] * n_head, axis=0)
+        kstack2 = jnp.where(pmask, jnp.concatenate([kcat, kcat], axis=1),
+                            0.0).astype(jnp.bfloat16)       # (2HL, 2C)
+        qs = (jnp.concatenate([qc, qu], axis=1)
+              * scale).astype(jnp.bfloat16)                 # (L, 2C)
+
+        tiled = L * 2 * HL * 4 > _ATTN_SLAB_LIMIT
+        q_rows = (_Q_BLOCK_ROWS if _Q_BLOCK_ROWS is not None
+                  else _auto_q_rows(2 * n_head, L))
+        oc_blocks, ou_blocks = [], []
+        for q0, qb in _blocks(L, L if not tiled else q_rows):
+            scores = jax.lax.dot_general(
+                qs[q0:q0 + qb], kstack2,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)          # (qb, 2HL)
+            halves = []
+            for h in range(2 * n_head):
+                blk = scores[:, h * L:(h + 1) * L]
+                m = jnp.max(blk, axis=1, keepdims=True)
+                pb = jnp.exp(blk - m)
+                halves.append(pb / jnp.sum(pb, axis=1, keepdims=True))
+            p_c = jnp.concatenate(halves[:n_head], axis=1)   # (qb, HL)
+            p_u = jnp.concatenate(halves[n_head:], axis=1)
+            oc_blocks.append(jax.lax.dot_general(
+                p_c.astype(jnp.bfloat16), vstack_c,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32))
+            ou_blocks.append(jax.lax.dot_general(
+                p_u.astype(jnp.bfloat16), vstack_u,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32))
+        o_c = (oc_blocks[0] if len(oc_blocks) == 1
+               else jnp.concatenate(oc_blocks, axis=0))
+        o_u = (ou_blocks[0] if len(ou_blocks) == 1
+               else jnp.concatenate(ou_blocks, axis=0))
+        return o_c, o_u
+
+    def cross_attention(q, k, v):
+        """Per-branch cross-attention over the (small, padded) condition:
+        the vectorized small-lk softmax from _kernel (exact per-head
+        maxima, one exp, block-diag-ones denominator matmul)."""
+        lk = sp
+        row_h = jax.lax.broadcasted_iota(
+            jnp.int32, (n_head * lk, n_embd), 0) // lk
+        col_h = jax.lax.broadcasted_iota(
+            jnp.int32, (n_head * lk, n_embd), 1) // d
+        block = row_h == col_h
+        kstack = jnp.where(block, jnp.concatenate([k] * n_head, axis=0),
+                           0.0).astype(jnp.bfloat16)
+        vstack = jnp.where(block, jnp.concatenate([v] * n_head, axis=0),
+                           0.0).astype(jnp.bfloat16)
+        qs = (q * scale).astype(jnp.bfloat16)
+        scores = jax.lax.dot_general(
+            qs, kstack, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)              # (L, H*lk)
+        masked = s_valid < lk
+        if masked:
+            lane = jax.lax.broadcasted_iota(
+                jnp.int32, (1, n_head * lk), 1)[0] % lk
+            tiled_valid = (lane < s_valid)[None, :]
+            scores = jnp.where(tiled_valid, scores, -jnp.inf)
+        m = jnp.concatenate(
+            [jnp.broadcast_to(
+                jnp.max(scores[:, h * lk:(h + 1) * lk], axis=1,
+                        keepdims=True), (L, lk))
+             for h in range(n_head)], axis=1)
+        e = jnp.exp(scores - m)
+        if masked:
+            e = jnp.where(tiled_valid, e, 0.0)
+        r2 = jax.lax.broadcasted_iota(
+            jnp.int32, (n_head * lk, n_head * lk), 0) // lk
+        c2 = jax.lax.broadcasted_iota(
+            jnp.int32, (n_head * lk, n_head * lk), 1) // lk
+        ones_bd = jnp.where(r2 == c2, 1.0, 0.0)
+        den = jax.lax.dot_general(
+            e, ones_bd, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        p = e / den
+        return jax.lax.dot_general(
+            p.astype(jnp.bfloat16), vstack,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)              # (L, C)
+
+    def layer(i, xs):
+        x_c, x_u = xs
+        ada = adaln_ref[i]                                    # (2, 2C)
+        # --- self-attention (row-stacked QKV, packed QK) ---
+        h_c = _ln(x_c) * (1.0 + ada[0, :n_embd]) + ada[0, n_embd:]
+        h_u = _ln(x_u) * (1.0 + ada[0, :n_embd]) + ada[0, n_embd:]
+        qkv = _mm(jnp.concatenate([h_c, h_u], axis=0),
+                  wqkv_ref[i]) + bqkv_ref[i]                  # (2L, 3C)
+        o_c, o_u = paired_self_attention(
+            qkv[:L, :n_embd], qkv[:L, n_embd:2 * n_embd],
+            qkv[:L, 2 * n_embd:],
+            qkv[L:, :n_embd], qkv[L:, n_embd:2 * n_embd],
+            qkv[L:, 2 * n_embd:])
+        o = _mm(jnp.concatenate([o_c, o_u], axis=0),
+                wproj_ref[i]) + bproj_ref[i]                  # (2L, C)
+        x_c = x_c + o[:L]
+        x_u = x_u + o[L:]
+
+        # --- cross-attention over the per-branch condition K/V ---
+        if cross_as_bias:
+            x_c = x_c + kc_ref[0, 0, i][0:1, :]
+            x_u = x_u + kc_ref[0, 1, i][0:1, :]
+        else:
+            h_c = _ln(x_c) * (1.0 + ada[1, :n_embd]) + ada[1, n_embd:]
+            h_u = _ln(x_u) * (1.0 + ada[1, :n_embd]) + ada[1, n_embd:]
+            qc2 = _mm(jnp.concatenate([h_c, h_u], axis=0),
+                      wq_c_ref[i]) + bq_c_ref[i]              # (2L, C)
+            oc = cross_attention(qc2[:L], kc_ref[0, 0, i], vc_ref[0, 0, i])
+            ou = cross_attention(qc2[L:], kc_ref[0, 1, i], vc_ref[0, 1, i])
+            o = _mm(jnp.concatenate([oc, ou], axis=0),
+                    wproj_c_ref[i]) + bproj_c_ref[i]
+            x_c = x_c + o[:L]
+            x_u = x_u + o[L:]
+
+        # --- MLP (row-stacked) ---
+        h2 = _ln(jnp.concatenate([x_c, x_u], axis=0)) \
+            * ln2s_ref[i] + ln2b_ref[i]
+        h2 = _mm(h2, wfc_ref[i]) + bfc_ref[i]
+        h2 = h2 * jax.nn.sigmoid(1.702 * h2)                  # GELU2
+        h2 = _mm(h2, wpj_ref[i]) + bpj_ref[i]
+        return (x_c + h2[:L], x_u + h2[L:])
+
+    x_c, x_u = jax.lax.fori_loop(0, n_layer, layer, (x0, x0))
+
+    h_c = _ln(x_c) * lno_ref[0] + lno_ref[1]                  # (L, C)
+    h_u = _ln(x_u) * lno_ref[0] + lno_ref[1]
+
+    row_blocks = _blocks(L, L if L * kp * 4 <= _ROW_SLAB_LIMIT
+                         else _R_BLOCK_ROWS)
+
+    def log_softmax(z, kvalid):
+        z = jnp.where(kvalid, z, -jnp.inf)
+        m = jnp.max(z, axis=1, keepdims=True)
+        lse = jnp.log(jnp.sum(jnp.exp(z - m), axis=1, keepdims=True)) + m
+        return jnp.maximum(z - lse, LOG_CLAMP)
+
+    if sample_mode:
+        pltpu.prng_seed(seed_ref[0] + b)
+    for r0, rb in row_blocks:
+        kvalid = jax.lax.broadcasted_iota(
+            jnp.int32, (rb, kp), 1) < k_valid
+        z = _mm(jnp.concatenate([h_c[r0:r0 + rb], h_u[r0:r0 + rb]],
+                                axis=0), wlog_ref[...]) \
+            + blog_ref[...]                                   # (2rb, kp)
+        lc = log_softmax(z[:rb], kvalid)
+        lcf = log_softmax(z[rb:], kvalid)
+        ln_ = lcf + guidance * (lc - lcf)
+        ln_ = jnp.where(kvalid, ln_, -jnp.inf)
+        m = jnp.max(ln_, axis=1, keepdims=True)
+        lse = jnp.log(jnp.sum(jnp.exp(ln_ - m), axis=1,
+                              keepdims=True)) + m
+        r = jnp.maximum(ln_ - lse, LOG_CLAMP)
+        _sample_block(sched_ref, r, tok[r0:r0 + rb], out_ref, kvalid,
+                      r0=r0, num_classes=num_classes, kp=kp,
+                      sample_mode=sample_mode)
+
+
 # ---------------------------------------------------------------------------
 # host-side wrapper + full sampling loop
 # ---------------------------------------------------------------------------
@@ -663,7 +903,7 @@ def _sample_block(sched_ref, r, tok, out_ref, kvalid, *, r0, num_classes,
 def _megakernel_step(packed, tokens, adaln, kc, vc, pos, sched_row, seed, *,
                      n_layer, n_head, n_embd, num_classes, guidance,
                      use_cfg, s_valid, sample_mode=True, interpret=False,
-                     cross_as_bias=False):
+                     cross_as_bias=False, pack_cfg=False):
     b, L = tokens.shape
     k_valid = packed["wlog"].shape[1]
     kp = _round_up(k_valid, 128)
@@ -676,6 +916,55 @@ def _megakernel_step(packed, tokens, adaln, kc, vc, pos, sched_row, seed, *,
     lno = jnp.stack([packed["lno_s"], packed["lno_b"]])
 
     n_br = 2 if use_cfg else 1
+    w_names = ["wqkv", "bqkv", "wproj", "bproj", "wq_c", "bq_c", "wproj_c",
+               "bproj_c", "ln2_s", "ln2_b", "wfc", "bfc", "wpj", "bpj"]
+    w_arrays = [packed[n] for n in w_names]
+
+    if pack_cfg:
+        assert use_cfg, "pack_cfg is the CFG-merged kernel"
+        kernel = functools.partial(
+            _kernel_packed, n_layer=n_layer, n_head=n_head, n_embd=n_embd,
+            k_valid=k_valid, s_valid=s_valid, guidance=guidance,
+            num_classes=num_classes, sample_mode=sample_mode,
+            cross_as_bias=cross_as_bias)
+
+        def const1(shape_arr):
+            nd = shape_arr.ndim
+            return pl.BlockSpec(shape_arr.shape, lambda i: (0,) * nd,
+                                memory_space=pltpu.VMEM)
+
+        out = pl.pallas_call(
+            kernel,
+            grid=(b,),
+            in_specs=[
+                pl.BlockSpec((1, 10), lambda i: (0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, 1, L), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                const1(adaln),
+                pl.BlockSpec((1, 2, n_layer, sp, n_embd),
+                             lambda i: (i, 0, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 2, n_layer, sp, n_embd),
+                             lambda i: (i, 0, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                const1(emb), const1(pos),
+                *[const1(w) for w in w_arrays],
+                const1(lno), const1(wlog), const1(blog),
+            ],
+            out_specs=pl.BlockSpec((1, 1, L), lambda i: (i, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((b, 1, L), jnp.int32),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024),
+            interpret=interpret,
+        )(sched_row.astype(jnp.float32).reshape(1, 10),
+          jnp.asarray(seed, jnp.int32).reshape(1),
+          tokens[:, None, :], adaln, kc, vc, emb, pos, *w_arrays, lno,
+          wlog, blog)
+        return out[:, 0, :]
+
     kernel = functools.partial(
         _kernel, n_layer=n_layer, n_head=n_head, n_embd=n_embd,
         k_valid=k_valid, s_valid=s_valid, guidance=guidance,
@@ -687,10 +976,6 @@ def _megakernel_step(packed, tokens, adaln, kc, vc, pos, sched_row, seed, *,
         return pl.BlockSpec(shape_arr.shape,
                             lambda i, j: (0,) * nd,
                             memory_space=pltpu.VMEM)
-
-    w_names = ["wqkv", "bqkv", "wproj", "bproj", "wq_c", "bq_c", "wproj_c",
-               "bproj_c", "ln2_s", "ln2_b", "wfc", "bfc", "wpj", "bpj"]
-    w_arrays = [packed[n] for n in w_names]
 
     out = pl.pallas_call(
         kernel,
@@ -735,9 +1020,12 @@ def megakernel_sample_tokens(rng: jax.Array, sched: D3PMSchedule,
                              weights_dtype=jnp.bfloat16,
                              sample_mode: bool = True,
                              interpret: bool = False,
+                             pack_cfg: bool | None = None,
                              _force_general_cross: bool = False) -> jax.Array:
     """Full reverse process with the megakernel. params: flax denoiser
-    params (DenoiserTransformer tree)."""
+    params (DenoiserTransformer tree). ``pack_cfg=None`` resolves to the
+    ``_PACK_CFG`` default when CFG is active and the sequence fits the
+    paired score slab (see the switch's comment)."""
     K = sched.num_classes
     T = sched.num_timesteps
     packed = pack_denoiser_params(params, n_layer, weights_dtype)
@@ -750,6 +1038,8 @@ def megakernel_sample_tokens(rng: jax.Array, sched: D3PMSchedule,
     # cross-attention K/V per layer per branch (condition-only)
     use_cfg = abs(guidance_scale - 1.0) >= 1e-3
     s_valid = cond_emb.shape[1]
+    if pack_cfg is None:
+        pack_cfg = _PACK_CFG and use_cfg and seq_len <= _PACK_CFG_MAX_SEQ
     # _force_general_cross: testing hook so the bias fast path can be
     # checked for equivalence against the full attention path
     cross_as_bias = s_valid == 1 and not _force_general_cross
@@ -807,7 +1097,8 @@ def megakernel_sample_tokens(rng: jax.Array, sched: D3PMSchedule,
         _megakernel_step, n_layer=n_layer, n_head=n_head, n_embd=n_embd,
         num_classes=K, guidance=guidance_scale, use_cfg=use_cfg,
         s_valid=s_valid, sample_mode=sample_mode, interpret=interpret,
-        cross_as_bias=cross_as_bias)
+        cross_as_bias=cross_as_bias,
+        pack_cfg=bool(pack_cfg) and use_cfg)
 
     # AdaLN scale/shift tables for every timestep, hoisted out of the scan
     # (step-invariant given the static timestep sequence): (T, 19, 2, 2C).

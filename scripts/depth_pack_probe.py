@@ -92,6 +92,59 @@ def _time_chain(m: int, k: int, n: int, iters: int = ITERS) -> float:
     return min(dt1, time.perf_counter() - t0) / iters
 
 
+def _pair_kernel(x_ref, w1_ref, w2_ref, out_ref, *, iters: int, k: int):
+    """iters iterations, each with TWO INDEPENDENT (M,K)x(K,N) matmuls
+    (separate inputs and weights — the fair analogue of one block-diag
+    packed pass: same dependency-chain depth, same useful work)."""
+    import jax
+    import jax.numpy as jnp
+
+    def body(_, xs):
+        x1, x2 = xs
+        s1 = jax.lax.dot_general(x1, w1_ref[...], (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        s2 = jax.lax.dot_general(x2, w2_ref[...], (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        return ((s1[:, :k] * 0.01).astype(jnp.bfloat16),
+                (s2[:, :k] * 0.01).astype(jnp.bfloat16))
+
+    x1, x2 = jax.lax.fori_loop(0, iters, body, (x_ref[...], x_ref[...]))
+    out_ref[0, 0] = (jnp.sum(x1.astype(jnp.float32))
+                     + jnp.sum(x2.astype(jnp.float32)))
+
+
+def _time_pair(m: int, k: int, n: int, iters: int = ITERS) -> float:
+    """Seconds per ITERATION (= per pair of independent matmuls)."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    rng = np.random.default_rng(0)
+    w1 = jnp.asarray(rng.standard_normal((k, n)) / k, jnp.bfloat16)
+    w2 = jnp.asarray(rng.standard_normal((k, n)) / k, jnp.bfloat16)
+    x = jnp.ones((m, k), jnp.bfloat16)
+    fn = jax.jit(lambda x, w1, w2: pl.pallas_call(
+        functools.partial(_pair_kernel, iters=iters, k=k),
+        out_shape=jax.ShapeDtypeStruct((1, 1), jnp.float32),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 3,
+        out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )(x, w1, w2))
+
+    def run():
+        return float(fn(x, w1, w2)[0, 0])
+
+    run()
+    t0 = time.perf_counter()
+    run()
+    dt1 = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    run()
+    return min(dt1, time.perf_counter() - t0) / iters
+
+
 def main():
     import jax
 
@@ -124,12 +177,25 @@ def main():
     # useful work both sides: two (256,64)x(64,16384) score blocks.
     # packed side executes 2x the (zero-padded) FLOPs at full depth.
     dt128 = _time_chain(256, 128, 32768)
-    results["pack_two_d64_us"] = round(2 * dt64 * 1e6, 2)
+    results["pack_two_d64_chained_us"] = round(2 * dt64 * 1e6, 2)
     results["pack_one_d128_blockdiag_us"] = round(dt128 * 1e6, 2)
-    results["pack_speedup"] = round(2 * dt64 / dt128, 3)
-    print(f"two d64: {results['pack_two_d64_us']} us vs packed d128: "
-          f"{results['pack_one_d128_blockdiag_us']} us -> speedup "
-          f"{results['pack_speedup']}x", flush=True)
+    results["pack_speedup_vs_chained"] = round(2 * dt64 / dt128, 3)
+    print(f"two CHAINED d64: {results['pack_two_d64_chained_us']} us vs "
+          f"packed d128: {results['pack_one_d128_blockdiag_us']} us -> "
+          f"{results['pack_speedup_vs_chained']}x (confounded: double the "
+          f"dependency-chain depth)", flush=True)
+
+    # the FAIR comparison: two INDEPENDENT d64 matmuls per iteration
+    # (Mosaic can pipeline them — this is what the real kernel's
+    # independent per-branch / per-q-block matmuls look like) vs one
+    # packed d128 pass, at equal chain depth and equal useful work
+    dt_pair = _time_pair(256, 64, 16384)
+    results["pack_two_d64_independent_us"] = round(dt_pair * 1e6, 2)
+    results["pack_speedup_vs_independent"] = round(dt_pair / dt128, 3)
+    print(f"two INDEPENDENT d64 (pipelined): "
+          f"{results['pack_two_d64_independent_us']} us vs packed d128 "
+          f"{results['pack_one_d128_blockdiag_us']} us -> "
+          f"{results['pack_speedup_vs_independent']}x", flush=True)
 
     out = sys.argv[1] if len(sys.argv) > 1 else os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),

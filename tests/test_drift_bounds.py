@@ -53,6 +53,30 @@ def test_parity_drift_artifact_within_bounds():
     if e2e is not None:
         # bf16 packing is exactly what MXU default precision does anyway
         assert e2e["final_token_disagreement_bf16w_vs_f32w"] == 0.0
+    # round-5 extensions: second honest seed + the MSRVTT 2304-token grid
+    # (VERDICT r4 #5) live under sections{} and honor the same bounds
+    for name, section in (artifact.get("sections") or {}).items():
+        _assert_bounds(section["coupled_per_step"])
+        if name == "msrvtt":
+            assert section["config"]["tokens"] == 2304
+            assert section["config"]["steps"] == 100
+
+
+def test_parity_drift_sections_present():
+    """The round-5 protocol extensions are committed: a second seed at the
+    honest scale and the MSRVTT 2304-token grid."""
+    path = os.path.join(_REPO, "PARITY_DRIFT.json")
+    if not os.path.exists(path):
+        pytest.skip("PARITY_DRIFT.json not measured yet")
+    with open(path) as f:
+        artifact = json.load(f)
+    sections = artifact.get("sections") or {}
+    if not sections:
+        pytest.skip("sections not measured yet (round-5 TPU runs pending)")
+    assert "honest_seed2" in sections
+    assert "msrvtt" in sections
+    assert sections["honest_seed2"]["config"]["seed"] != \
+        artifact["config"].get("seed", 1)
 
 
 @pytest.mark.tpu

@@ -122,7 +122,8 @@ def test_tiled_paths_match_single_block(setup, monkeypatch, fold, head3d,
     cf = jnp.asarray(rng.standard_normal((1, 1, COND_DIM)), jnp.float32)
     kw = dict(spatial_size=SPATIAL, n_layer=N_LAYER, n_head=N_HEAD,
               n_embd=N_EMBD, diffusion_step=T, guidance_scale=2.0,
-              weights_dtype=jnp.float32, sample_mode=False, interpret=True)
+              weights_dtype=jnp.float32, sample_mode=False, interpret=True,
+              pack_cfg=False)
     want = mk.megakernel_sample_tokens(
         jax.random.key(11), sched, params, cond, cf, B, L, **kw)
 
@@ -154,7 +155,8 @@ def test_large_lk_branch_matches_small_lk(setup, monkeypatch):
     cf = jnp.asarray(rng.standard_normal((1, 1, COND_DIM)), jnp.float32)
     kw = dict(spatial_size=SPATIAL, n_layer=N_LAYER, n_head=N_HEAD,
               n_embd=N_EMBD, diffusion_step=T, guidance_scale=2.0,
-              weights_dtype=jnp.float32, sample_mode=False, interpret=True)
+              weights_dtype=jnp.float32, sample_mode=False, interpret=True,
+              pack_cfg=False)
     want = mk.megakernel_sample_tokens(
         jax.random.key(13), sched, params, cond, cf, B, L, **kw)
 
@@ -179,7 +181,8 @@ def test_cross_bias_fast_path_matches_general(setup):
     cf = jnp.asarray(rng.standard_normal((1, 1, COND_DIM)), jnp.float32)
     kw = dict(spatial_size=SPATIAL, n_layer=N_LAYER, n_head=N_HEAD,
               n_embd=N_EMBD, diffusion_step=T, guidance_scale=2.0,
-              weights_dtype=jnp.float32, sample_mode=False, interpret=True)
+              weights_dtype=jnp.float32, sample_mode=False, interpret=True,
+              pack_cfg=False)
     fast = mk.megakernel_sample_tokens(
         jax.random.key(3), sched, params, cond, cf, B, L, **kw)
     general = mk.megakernel_sample_tokens(
@@ -202,3 +205,59 @@ def test_megakernel_full_loop_valid(setup):
     assert arr.shape == (B, L)
     assert arr.min() >= 0 and arr.max() <= K_CODES
     assert (arr != K_CODES).all()  # no MASK left after the full loop
+
+
+@pytest.mark.parametrize("general_cross", [False, True],
+                         ids=["cross_bias", "cross_general"])
+def test_pack_cfg_matches_two_branch(setup, general_cross):
+    """The CFG-packed kernel (_kernel_packed: both guidance branches in
+    one grid step, QK packed to a 128-deep contraction, row-stacked
+    shared-weight matmuls) must sample the same tokens as the 2-branch
+    kernel — the packed QK only adds zero products, the row stacking is
+    exact per row, and the Gumbel stream matches branch 1's (the PRNG is
+    seeded per batch row; branch 0 never draws)."""
+    sched, model, params = setup
+    rng = np.random.default_rng(21)
+    s_len = 3 if general_cross else 1
+    cond = jnp.asarray(rng.standard_normal((B, s_len, COND_DIM)),
+                       jnp.float32)
+    cf = jnp.asarray(rng.standard_normal((1, s_len, COND_DIM)), jnp.float32)
+    kw = dict(spatial_size=SPATIAL, n_layer=N_LAYER, n_head=N_HEAD,
+              n_embd=N_EMBD, diffusion_step=T, guidance_scale=2.0,
+              weights_dtype=jnp.float32, interpret=True, sample_mode=False,
+              _force_general_cross=general_cross)
+    # sample_mode=False only: the TPU core PRNG has no CPU-interpret rule;
+    # the shared-Gumbel-stream claim is pinned on-chip by
+    # tests/test_tpu_smoke.py-style runs (pytest -m tpu)
+    want = mk.megakernel_sample_tokens(
+        jax.random.key(17), sched, params, cond, cf, B, L,
+        pack_cfg=False, **kw)
+    got = mk.megakernel_sample_tokens(
+        jax.random.key(17), sched, params, cond, cf, B, L,
+        pack_cfg=True, **kw)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_pack_cfg_tiled_matches_single_block(setup, monkeypatch):
+    """Force the packed kernel's tiling loops (embedding chunks, paired
+    attention query blocks, sampler row blocks) at the test scale and
+    assert identical tokens vs its own single-block configuration."""
+    sched, model, params = setup
+    rng = np.random.default_rng(23)
+    cond = jnp.asarray(rng.standard_normal((B, 1, COND_DIM)), jnp.float32)
+    cf = jnp.asarray(rng.standard_normal((1, 1, COND_DIM)), jnp.float32)
+    kw = dict(spatial_size=SPATIAL, n_layer=N_LAYER, n_head=N_HEAD,
+              n_embd=N_EMBD, diffusion_step=T, guidance_scale=2.0,
+              weights_dtype=jnp.float32, sample_mode=False, interpret=True,
+              pack_cfg=True)
+    want = mk.megakernel_sample_tokens(
+        jax.random.key(29), sched, params, cond, cf, B, L, **kw)
+    monkeypatch.setattr(mk, "_ATTN_SLAB_LIMIT", 0)
+    monkeypatch.setattr(mk, "_Q_BLOCK_ROWS", L // 2)
+    monkeypatch.setattr(mk, "_ROW_SLAB_LIMIT", 0)
+    monkeypatch.setattr(mk, "_R_BLOCK_ROWS", L // 4)
+    monkeypatch.setattr(mk, "_EMB_CHUNK_LIMIT", 8)
+    monkeypatch.setattr(mk, "_EMB_CHUNK_ROWS", 8)
+    got = mk.megakernel_sample_tokens(
+        jax.random.key(29), sched, params, cond, cf, B, L, **kw)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))

@@ -197,6 +197,73 @@ print("megakernel baseline-scale ok")
 """, timeout=840.0))
 
 
+def test_pack_cfg_megakernel_on_tpu(tpu_available):
+    """The CFG-packed kernel (_kernel_packed) must Mosaic-compile and —
+    with REAL sampling on — draw the same tokens as the 2-branch kernel:
+    the packed kernel's Gumbel stream must equal branch 1's (PRNG seeded
+    per batch row; branch 0 never draws), and the packed QK's zero
+    padding must not perturb the f32 accumulation."""
+    _check(_run_on_tpu("""
+import numpy as np
+import jax, jax.numpy as jnp
+from gif_synthesis_with_discrete_diffusion_tpu.models import d3pm
+from gif_synthesis_with_discrete_diffusion_tpu.models.denoiser import (
+    DenoiserTransformer)
+from gif_synthesis_with_discrete_diffusion_tpu.ops import megakernel as mk
+T, K_CODES, L, B = 6, 24, 16, 2
+N_LAYER, N_EMBD, N_HEAD, COND_DIM = 2, 32, 4, 16
+sched = d3pm.make_schedule(T, K_CODES + 1)
+model = DenoiserTransformer(
+    num_embed=K_CODES, spatial_size=(4, 4), n_layer=N_LAYER, n_embd=N_EMBD,
+    n_head=N_HEAD, content_seq_len=L, condition_dim=COND_DIM,
+    diffusion_step=T)
+variables = model.init(jax.random.key(0), jnp.zeros((B, L), jnp.int32),
+                       jnp.zeros((B, 1, COND_DIM)), jnp.zeros((B,), jnp.int32))
+rng = np.random.default_rng(3)
+cond = jnp.asarray(rng.standard_normal((B, 1, COND_DIM)), jnp.float32)
+kw = dict(spatial_size=(4, 4), n_layer=N_LAYER, n_head=N_HEAD,
+          n_embd=N_EMBD, diffusion_step=T, guidance_scale=2.0,
+          weights_dtype=jnp.float32, sample_mode=True)
+want = mk.megakernel_sample_tokens(
+    jax.random.key(5), sched, variables["params"], cond,
+    jnp.zeros_like(cond), B, L, pack_cfg=False, **kw)
+got = mk.megakernel_sample_tokens(
+    jax.random.key(5), sched, variables["params"], cond,
+    jnp.zeros_like(cond), B, L, pack_cfg=True, **kw)
+np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+print("pack_cfg megakernel ok (sampled tokens identical)")
+"""))
+
+
+def test_pack_cfg_compiles_at_baseline_scale(tpu_available):
+    """The CFG-packed kernel at the HONEST problem size (19 layers,
+    L=1024, K=4097): Mosaic compile + run, argmax mode, 2 scan steps."""
+    _check(_run_on_tpu("""
+import numpy as np
+import jax, jax.numpy as jnp
+from gif_synthesis_with_discrete_diffusion_tpu.models import d3pm
+from gif_synthesis_with_discrete_diffusion_tpu.models.denoiser import (
+    DenoiserTransformer)
+from gif_synthesis_with_discrete_diffusion_tpu.ops import megakernel as mk
+K_CODES, L, T, B = 4096, 1024, 2, 2
+model = DenoiserTransformer(
+    num_embed=K_CODES, spatial_size=(128, 8), n_layer=19, n_embd=64,
+    n_head=16, content_seq_len=L, condition_dim=512, diffusion_step=100)
+variables = model.init(jax.random.key(0), jnp.zeros((B, L), jnp.int32),
+                       jnp.zeros((B, 1, 512)), jnp.zeros((B,), jnp.int32))
+sched = d3pm.make_schedule(T, K_CODES + 1)
+tokens = mk.megakernel_sample_tokens(
+    jax.random.key(1), sched, variables["params"], jnp.zeros((B, 1, 512)),
+    jnp.zeros((B, 1, 512)), B, L, spatial_size=(128, 8), n_layer=19,
+    n_head=16, n_embd=64, diffusion_step=100, guidance_scale=2.0,
+    sample_mode=False, pack_cfg=True)
+arr = np.asarray(tokens)
+assert arr.shape == (B, L)
+assert arr.min() >= 0 and arr.max() <= K_CODES
+print("pack_cfg baseline-scale ok")
+""", timeout=1500.0))
+
+
 def test_fused_mha_compiles_at_msrvtt_scale(tpu_available):
     """fused_mha must Mosaic-compile at the MSRVTT grid (L=2304 = 48x48,
     msrvtt-ddiff-train.job:16) — the scale where the default 16MB
