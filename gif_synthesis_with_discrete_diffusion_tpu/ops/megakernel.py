@@ -270,9 +270,11 @@ _SMALL_LK_MAX = 64
 # hidden states no longer need the VMEM scratch + logits recompute.
 # Gated to use_cfg and L <= _PACK_CFG_MAX_SEQ (the paired score slab is
 # (qb, 2HL) f32 = 32 MB at L=1024; the MSRVTT 2304 grid would need 73 MB
-# and stays on the 2-branch kernel). Default set by the on-chip A/B
-# (DESIGN.md round-5 log).
-_PACK_CFG = False
+# and stays on the 2-branch kernel). Default ON per the round-5 on-chip
+# A/B (scripts/pack_cfg_ab.py, same-process, both orders: 69.77 -> 68.34
+# ms/step unpacked-first, 81.2 -> 70.7 packed-first; packed also Mosaic-
+# compiled 2.5x faster in the first run — DESIGN.md round-5 log).
+_PACK_CFG = True
 _PACK_CFG_MAX_SEQ = 1024
 
 # Fold softmax denominators into a second small-output matmul:

@@ -232,7 +232,7 @@ got = mk.megakernel_sample_tokens(
     jnp.zeros_like(cond), B, L, pack_cfg=True, **kw)
 np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
 print("pack_cfg megakernel ok (sampled tokens identical)")
-"""))
+""", timeout=1500.0))
 
 
 def test_pack_cfg_compiles_at_baseline_scale(tpu_available):
