@@ -585,8 +585,9 @@ def main():
     if args.batch is not None:
         global BATCH
         BATCH = args.batch
-    # persistent compilation cache (GIF_COMPILE_CACHE=1 to force on over
-    # the axon TPU plugin; see utils/compile_cache.py for the caveat)
+    # persistent compilation cache — default ON since the round-5 re-probe
+    # (COMPILE_CACHE_PROBE.json) cleared the round-3 axon deserialization
+    # hang; GIF_COMPILE_CACHE=0 is the escape hatch
     from gif_synthesis_with_discrete_diffusion_tpu.utils.compile_cache \
         import enable_compilation_cache
     enable_compilation_cache()

@@ -6,11 +6,15 @@ scripts/generate.py so one-time Mosaic compiles (8.2 min for the MSRVTT
 megakernel, ~9.5 min honest-bench init) are paid once per machine, not
 once per process.
 
-TPU caveat: in round 3, executing a cache-DESERIALIZED program through the
-axon PJRT plugin hung the process (DESIGN.md round-3 second-session log),
-so the TPU default is OFF until the round-4 re-probe passes; control it
-with ``GIF_COMPILE_CACHE`` = ``1`` (force on), ``0`` (force off), unset =
-on for CPU-only processes, off when a TPU platform may initialize.
+TPU status: in round 3, executing a cache-DESERIALIZED program through
+the axon PJRT plugin hung the process (DESIGN.md round-3 second-session
+log), so the TPU default was OFF for rounds 3-4. The round-5 re-probe
+(scripts/compile_cache_probe.py -> COMPILE_CACHE_PROBE.json) could NOT
+reproduce the hang: a fresh process deserialized and EXECUTED both an XLA
+and a Mosaic program from the cache (123.6s cold -> 0.4s warm XLA
+first-call; 0.95s -> 0.06s Mosaic), so the cache now defaults ON
+everywhere. ``GIF_COMPILE_CACHE`` = ``0`` force-disables it (the escape
+hatch if the hang ever resurfaces), ``1`` forces it on.
 """
 from __future__ import annotations
 
@@ -30,12 +34,6 @@ def enable_compilation_cache(cache_dir: str | None = None,
     env = os.environ.get("GIF_COMPILE_CACHE", "").strip()
     if env == "0":
         return False
-    if not env:
-        # unset: only safe when this process is pinned to CPU (the axon
-        # TPU plugin hang, module docstring). jax_platforms is set by
-        # callers like tests/measure scripts before this runs.
-        if jax.config.jax_platforms != "cpu":
-            return False
     if cache_dir is None:
         cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR") or \
             os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
