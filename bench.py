@@ -450,8 +450,12 @@ def bench_train_step2(mode: str = "label") -> dict:
         dt = float(np.median(times))
     seq = _seq_len()
     steps_per_sec = 1.0 / dt
+    from gif_synthesis_with_discrete_diffusion_tpu.models import denoiser
+    attn = ("einsum" if denoiser.FUSED_ATTENTION_OVERRIDE is False
+            else "fused-VJP")
     return {"metric": (f"stage-2 D3PM train steps/sec (batch 16, {mode} "
-                       f"cond, {seq} tok, K={N_CODES + 1}, bf16 compute)"),
+                       f"cond, {seq} tok, K={N_CODES + 1}, bf16 compute, "
+                       f"{attn} attention)"),
             "value": round(steps_per_sec, 3), "unit": "steps/sec/chip",
             "batch": bs,
             **_vs_measured("train_step2", steps_per_sec,

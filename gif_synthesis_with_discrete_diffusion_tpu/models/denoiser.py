@@ -32,8 +32,18 @@ __all__ = ["DenoiserTransformer", "Block", "AdaLayerNorm", "SinusoidalPosEmb",
 # A/B + test override for the backend-gated fused-attention default:
 # None = gate on backend (Pallas kernel on TPU, einsum elsewhere);
 # True/False force one path for all DenoiserTransformer calls that don't
-# pass fused_attention explicitly.
-FUSED_ATTENTION_OVERRIDE: bool | None = None
+# pass fused_attention explicitly. The GIF_FUSED_ATTENTION env var (0/1)
+# sets the same override without code access — needed on the axon tunnel,
+# where the fused custom-VJP TRAINING step at the MSRVTT L=2304 grid hits
+# a >50-minute remote XLA compile (DESIGN.md round-5 log); sampling and
+# the L=1024 training grid are unaffected.
+def _env_override() -> bool | None:
+    import os
+    v = os.environ.get("GIF_FUSED_ATTENTION", "").strip()
+    return None if v not in ("0", "1") else v == "1"
+
+
+FUSED_ATTENTION_OVERRIDE: bool | None = _env_override()
 
 
 def gelu2(x: jax.Array) -> jax.Array:

@@ -137,3 +137,19 @@ def test_denoiser_fused_attention_grads_match_einsum(monkeypatch):
         np.testing.assert_allclose(
             np.asarray(gf), np.asarray(ge), rtol=5e-4, atol=5e-4,
             err_msg=jax.tree_util.keystr(path))
+
+
+def test_fused_attention_env_override(monkeypatch):
+    """GIF_FUSED_ATTENTION=0/1 forces the module-level override (the
+    escape hatch for the axon tunnel's >50-min remote compile of the
+    fused-VJP training step at L=2304; DESIGN.md round-5 log)."""
+    from gif_synthesis_with_discrete_diffusion_tpu.models import denoiser as dn
+
+    monkeypatch.setenv("GIF_FUSED_ATTENTION", "0")
+    assert dn._env_override() is False
+    monkeypatch.setenv("GIF_FUSED_ATTENTION", "1")
+    assert dn._env_override() is True
+    monkeypatch.setenv("GIF_FUSED_ATTENTION", "")
+    assert dn._env_override() is None
+    monkeypatch.delenv("GIF_FUSED_ATTENTION")
+    assert dn._env_override() is None
