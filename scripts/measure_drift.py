@@ -111,6 +111,12 @@ def main():
                    help="trajectory/Gumbel rng seed for the coupled "
                         "protocol (VERDICT r4 #5: a second seed makes the "
                         "bound a distribution, not a point)")
+    p.add_argument("--per-step", action="store_true",
+                   help="run the coupled protocol as three smaller jitted "
+                        "programs + a Python step loop instead of one "
+                        "scan program (same math and rng stream; needed "
+                        "at the 2304-token grid, whose one-program scan "
+                        "exceeds a 90-min remote compile on this tunnel)")
     p.add_argument("--skip-e2e", action="store_true",
                    help="skip the end-to-end megakernel run (saves its "
                         "multi-minute Mosaic compile in spot checks)")
@@ -183,16 +189,59 @@ def main():
         return (tok_f, rng), out
 
     tokens0 = jnp.full((B, seq), K - 1, jnp.int32)
-    scan = jax.jit(lambda rng: jax.lax.scan(
-        step, (tokens0, rng), jnp.arange(T - 1, -1, -1, dtype=jnp.int32)))
-    print("compiling coupled drift scan...", flush=True)
-    t0 = time.perf_counter()
-    (_, _), (flip, dmax, dmean, tv_mean, tv_max) = scan(
-        jax.random.key(args.seed))
-    flip = np.asarray(flip)
-    print(f"coupled scan done in {time.perf_counter() - t0:.0f}s", flush=True)
-    dmax, dmean = np.asarray(dmax), np.asarray(dmean)
-    tv_mean, tv_max = np.asarray(tv_mean), np.asarray(tv_max)
+    if args.per_step:
+        # Identical math/rng to the scan, but split into three smaller
+        # jitted programs with a Python step loop: the one-program scan at
+        # the MSRVTT 2304-token grid exceeded a 90-minute remote XLA
+        # compile through the axon tunnel (round-5 log in DESIGN.md); the
+        # split (one 'highest'-precision posterior program, one 'default',
+        # one elementwise stats program) compiles each piece separately.
+        post_f_fn = jax.jit(
+            lambda tok, t: posterior(params, tok, t, "highest"))
+        post_b_fn = jax.jit(
+            lambda tok, t: posterior(params_b16, tok, t, "default"))
+
+        def _stats(post_f, post_b, s):
+            u = jax.random.uniform(s, post_f.shape, jnp.float32)
+            g = -jnp.log(-jnp.log(u + 1e-30) + 1e-30)
+            tok_f = jnp.argmax(post_f + g, axis=1).astype(jnp.int32)
+            tok_b = jnp.argmax(post_b + g, axis=1).astype(jnp.int32)
+            d = jnp.abs(post_f - post_b)
+            tv = 0.5 * jnp.sum(jnp.abs(jnp.exp(post_f) - jnp.exp(post_b)),
+                               axis=1)
+            return tok_f, (jnp.mean(tok_f != tok_b), jnp.max(d),
+                           jnp.mean(d), jnp.mean(tv), jnp.max(tv))
+
+        stats_fn = jax.jit(_stats)
+        print("compiling per-step drift programs...", flush=True)
+        t0 = time.perf_counter()
+        rng = jax.random.key(args.seed)
+        tok, rows = tokens0, []
+        for i, t_scalar in enumerate(range(T - 1, -1, -1)):
+            rng, s = jax.random.split(rng)
+            pf = post_f_fn(tok, jnp.asarray(t_scalar, jnp.int32))
+            pb = post_b_fn(tok, jnp.asarray(t_scalar, jnp.int32))
+            tok, out = stats_fn(pf, pb, s)
+            rows.append([float(x) for x in out])
+            if i == 0:
+                print(f"first step done in {time.perf_counter() - t0:.0f}s",
+                      flush=True)
+        flip, dmax, dmean, tv_mean, tv_max = (
+            np.asarray(c) for c in zip(*rows))
+        print(f"coupled per-step loop done in "
+              f"{time.perf_counter() - t0:.0f}s", flush=True)
+    else:
+        scan = jax.jit(lambda rng: jax.lax.scan(
+            step, (tokens0, rng), jnp.arange(T - 1, -1, -1, dtype=jnp.int32)))
+        print("compiling coupled drift scan...", flush=True)
+        t0 = time.perf_counter()
+        (_, _), (flip, dmax, dmean, tv_mean, tv_max) = scan(
+            jax.random.key(args.seed))
+        flip = np.asarray(flip)
+        print(f"coupled scan done in {time.perf_counter() - t0:.0f}s",
+              flush=True)
+        dmax, dmean = np.asarray(dmax), np.asarray(dmean)
+        tv_mean, tv_max = np.asarray(tv_mean), np.asarray(tv_max)
 
     # --- end-to-end megakernel bf16 vs f32, shared seeds ---
     e2e_disagree = None
@@ -219,6 +268,7 @@ def main():
                    "layers": 19, "embd": 64, "heads": 16,
                    "guidance": guidance, "coupled_batch": B,
                    "seed": args.seed,
+                   "protocol": "per_step_jit" if args.per_step else "scan",
                    "megakernel_batch": None if args.skip_e2e
                    else args.mk_batch},
         "coupled_per_step": {
