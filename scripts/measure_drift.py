@@ -117,6 +117,13 @@ def main():
                         "scan program (same math and rng stream; needed "
                         "at the 2304-token grid, whose one-program scan "
                         "exceeds a 90-min remote compile on this tunnel)")
+    p.add_argument("--f32-device", default="tpu", choices=["tpu", "cpu"],
+                   help="with --per-step: where the true-f32 reference "
+                        "posterior runs. 'cpu' = host XLA-CPU (true f32 "
+                        "matmuls, compiles locally) — the only feasible "
+                        "option at the 2304-token grid, whose 'highest'-"
+                        "precision program crashes the tunnel's remote "
+                        "compiler")
     p.add_argument("--skip-e2e", action="store_true",
                    help="skip the end-to-end megakernel run (saves its "
                         "multi-minute Mosaic compile in spot checks)")
@@ -161,15 +168,17 @@ def main():
     cond = jax.random.normal(jax.random.key(5), (B, 1, 512)) * 0.02
     cond2 = jnp.concatenate([cond, jnp.zeros_like(cond)], axis=0)
 
-    def posterior(prm, tokens, t_scalar, precision):
+    def posterior(prm, tokens, t_scalar, precision, cond2_=None, sched_=None):
         # 'highest' = true f32 (the torch reference's numerics); 'default'
         # = TPU MXU bf16-operand/f32-accumulate (the megakernel's numerics)
+        c2 = cond2 if cond2_ is None else cond2_
+        sc = sched if sched_ is None else sched_
         with jax.default_matmul_precision(precision):
             x2 = jnp.concatenate([tokens, tokens], axis=0)
             t2 = jnp.full((2 * B,), t_scalar, jnp.int32)
-            logits2 = model.apply({"params": prm}, x2, cond2, t2)
+            logits2 = model.apply({"params": prm}, x2, c2, t2)
             log_x_recon = _guided_log_x_recon(logits2, guidance, B)
-            return _analytic_posterior(sched, log_x_recon, tokens, t_scalar)
+            return _analytic_posterior(sc, log_x_recon, tokens, t_scalar)
 
     def step(carry, t_scalar):
         tokens, rng = carry
@@ -189,7 +198,55 @@ def main():
         return (tok_f, rng), out
 
     tokens0 = jnp.full((B, seq), K - 1, jnp.int32)
-    if args.per_step:
+    if args.per_step and args.f32_device == "cpu":
+        # Hybrid protocol for grids whose 'highest'-precision program the
+        # tunnel's REMOTE compiler cannot build (the L=2304 one-program
+        # scan exceeded 90 min; the split per-step 'highest' program then
+        # crashed the remote_compile endpoint after ~75 min — DESIGN.md
+        # round-5 log). The true-f32 reference side runs on host XLA-CPU
+        # (compiles locally in seconds; CPU matmuls ARE true f32, the same
+        # numerics class as the torch reference the drift claim anchors
+        # to), the bf16-rounded side runs on the chip at default
+        # precision (the shipped kernel's numerics), and the coupled
+        # Gumbel draws are shared exactly — jax's threefry PRNG is
+        # bit-identical across backends. Stats in float64 numpy on host.
+        cpu = jax.devices("cpu")[0]
+        params_f = jax.device_put(params, cpu)
+        cond2_f = jax.device_put(cond2, cpu)
+        sched_f = jax.device_put(sched, cpu)
+        post_f_fn = jax.jit(lambda tok, t: posterior(
+            params_f, tok, t, "highest", cond2_f, sched_f))
+        post_b_fn = jax.jit(
+            lambda tok, t: posterior(params_b16, tok, t, "default"))
+        print("compiling hybrid drift programs (f32 side on host CPU)...",
+              flush=True)
+        t0 = time.perf_counter()
+        rng = jax.random.key(args.seed)
+        tok_np, rows = np.asarray(tokens0), []
+        for i, t_scalar in enumerate(range(T - 1, -1, -1)):
+            rng, s = jax.random.split(rng)
+            pf = post_f_fn(tok_np, jnp.asarray(t_scalar, jnp.int32))
+            pb = post_b_fn(tok_np, jnp.asarray(t_scalar, jnp.int32))
+            with jax.default_device(cpu):
+                u = jax.random.uniform(s, pf.shape, jnp.float32)
+            g_np = -np.log(-np.log(np.asarray(u) + 1e-30) + 1e-30)
+            pf_np = np.asarray(pf).astype(np.float64)
+            pb_np = np.asarray(pb).astype(np.float64)
+            tok_f = (pf_np + g_np).argmax(1)
+            tok_b = (pb_np + g_np).argmax(1)
+            d = np.abs(pf_np - pb_np)
+            tv = 0.5 * np.sum(np.abs(np.exp(pf_np) - np.exp(pb_np)), axis=1)
+            rows.append([float(np.mean(tok_f != tok_b)), float(d.max()),
+                         float(d.mean()), float(tv.mean()), float(tv.max())])
+            tok_np = tok_f.astype(np.int32)
+            if i == 0:
+                print(f"first step done in {time.perf_counter() - t0:.0f}s",
+                      flush=True)
+        flip, dmax, dmean, tv_mean, tv_max = (
+            np.asarray(c) for c in zip(*rows))
+        print(f"hybrid per-step loop done in "
+              f"{time.perf_counter() - t0:.0f}s", flush=True)
+    elif args.per_step:
         # Identical math/rng to the scan, but split into three smaller
         # jitted programs with a Python step loop: the one-program scan at
         # the MSRVTT 2304-token grid exceeded a 90-minute remote XLA
@@ -268,7 +325,10 @@ def main():
                    "layers": 19, "embd": 64, "heads": 16,
                    "guidance": guidance, "coupled_batch": B,
                    "seed": args.seed,
-                   "protocol": "per_step_jit" if args.per_step else "scan",
+                   "protocol": (
+                       "per_step_hybrid_cpu_f32"
+                       if args.per_step and args.f32_device == "cpu"
+                       else "per_step_jit" if args.per_step else "scan"),
                    "megakernel_batch": None if args.skip_e2e
                    else args.mk_batch},
         "coupled_per_step": {
@@ -298,7 +358,15 @@ def main():
             "Probe facts (tunnel chip): f32-params@default is bit-identical "
             "to bf16-params@default on a 19-layer forward (max delta 0.0; "
             "0.12 at highest), so all coupled drift reported here is the "
-            "TPU's shared bf16-operand rounding vs true f32."),
+            "TPU's shared bf16-operand rounding vs true f32."
+            + (" Protocol per_step_hybrid_cpu_f32: the true-f32 side ran "
+               "on host XLA-CPU (true f32 matmuls — the same numerics "
+               "class as matmul precision 'highest' on TPU and as the "
+               "torch CPU reference) because the 'highest'-precision "
+               "program at this grid crashes the tunnel's remote "
+               "compiler; Gumbel draws shared bit-exactly across "
+               "backends (threefry), stats in float64 on host."
+               if args.per_step and args.f32_device == "cpu" else "")),
     }
     out_path = args.out or os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
