@@ -47,12 +47,18 @@ Usage (TPU, ~10 min): python scripts/measure_drift.py
 from __future__ import annotations
 
 import argparse
+import faulthandler
 import json
 import os
 import sys
 import time
 
 import numpy as np
+
+# Periodic stack dumps: remote compiles through the axon tunnel can block
+# for tens of minutes with zero host CPU; the dumps make a stuck run
+# diagnosable instead of silent (round-5 hybrid-protocol debugging).
+faulthandler.dump_traceback_later(900, repeat=True)
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -168,15 +174,21 @@ def main():
     cond = jax.random.normal(jax.random.key(5), (B, 1, 512)) * 0.02
     cond2 = jnp.concatenate([cond, jnp.zeros_like(cond)], axis=0)
 
-    def posterior(prm, tokens, t_scalar, precision, cond2_=None, sched_=None):
+    def posterior(prm, tokens, t_scalar, precision, cond2_=None, sched_=None,
+                  fused=None):
         # 'highest' = true f32 (the torch reference's numerics); 'default'
-        # = TPU MXU bf16-operand/f32-accumulate (the megakernel's numerics)
+        # = TPU MXU bf16-operand/f32-accumulate (the megakernel's numerics).
+        # fused=False forces einsum attention — REQUIRED on the host-CPU
+        # reference side (the backend gate would otherwise route the
+        # Pallas fused_mha into the CPU jit, which only supports
+        # interpret mode).
         c2 = cond2 if cond2_ is None else cond2_
         sc = sched if sched_ is None else sched_
         with jax.default_matmul_precision(precision):
             x2 = jnp.concatenate([tokens, tokens], axis=0)
             t2 = jnp.full((2 * B,), t_scalar, jnp.int32)
-            logits2 = model.apply({"params": prm}, x2, c2, t2)
+            logits2 = model.apply({"params": prm}, x2, c2, t2,
+                                  fused_attention=fused)
             log_x_recon = _guided_log_x_recon(logits2, guidance, B)
             return _analytic_posterior(sc, log_x_recon, tokens, t_scalar)
 
@@ -215,7 +227,7 @@ def main():
         cond2_f = jax.device_put(cond2, cpu)
         sched_f = jax.device_put(sched, cpu)
         post_f_fn = jax.jit(lambda tok, t: posterior(
-            params_f, tok, t, "highest", cond2_f, sched_f))
+            params_f, tok, t, "highest", cond2_f, sched_f, fused=False))
         post_b_fn = jax.jit(
             lambda tok, t: posterior(params_b16, tok, t, "default"))
         print("compiling hybrid drift programs (f32 side on host CPU)...",
